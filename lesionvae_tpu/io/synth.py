@@ -142,7 +142,8 @@ def generate_cohort(root: str | Path, config: Config, seed: int = 0,
                     rng = _rng(seed, "bundle", sid, tp, tract)
                     bundle = make_bundle(rng, n_streamlines)
                     vtk.write_vtk_polylines(
-                        ddir / "bundles" / f"{tract}_curves.vtk.gz", bundle)
+                        ddir / "bundles" / f"{tract}_curves.vtk.gz", bundle,
+                        binary=True)  # binary parses ~10x faster than ASCII
 
                 brain = make_brain_volume(volume_shape)
                 nifti.save(ddir / "tissue.nii.gz", brain, affine)

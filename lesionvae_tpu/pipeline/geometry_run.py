@@ -1,0 +1,255 @@
+"""Tract-geometry pipeline: cohort driver + preserved public API.
+
+Replaces the reference's per-item Python loop
+(src/geometry/comprehensive_tract_geometry_analysis.py:134-220, the ~2.4k-item
+COHORT LOOP of SURVEY.md §3.1) with a batched design: all bundles are read on
+the host, packed into a handful of padded ``(S, P, 3)`` buckets, and each
+bucket is ONE jitted device call.  Output CSV schemas match the reference
+byte-for-byte in column names and order:
+- ``comprehensive_tract_geometry_metrics.csv``
+  (comprehensive_tract_geometry_analysis.py:317-319)
+- ``summary_statistics_by_group_timepoint.csv`` (:264-266)
+- ``summary_statistics_by_tract_group.csv`` (:292-294)
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core.config import Config, load_config
+from ..io.vtk import read_streamlines
+from ..ops.geometry import METRIC_NAMES, bundle_summary, streamline_metrics
+from ..ops.padding import pad_streamlines, round_up
+from ..utils.logging import get_logger
+
+log = get_logger("geometry")
+
+_BUCKET_MIN = 32  # smallest padded point-count bucket
+
+
+def _bucket_P(n: int) -> int:
+    b = _BUCKET_MIN
+    while b < n:
+        b *= 2
+    return b
+
+
+def metrics_dataframe(streamlines: Sequence[np.ndarray],
+                      dtype=jnp.float32) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Per-streamline + bundle-summary DataFrames for one bundle."""
+    if not streamlines:
+        return (pd.DataFrame(columns=list(METRIC_NAMES)),
+                pd.DataFrame([bundle_summary(
+                    {"valid": np.zeros(0, bool),
+                     **{k: np.zeros(0) for k in METRIC_NAMES}})]))
+    pts, lens = pad_streamlines(streamlines,
+                                max_points=_bucket_P(max(len(s) for s in streamlines)))
+    out = streamline_metrics(jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    valid = out["valid"]
+    df_sl = pd.DataFrame({k: out[k][valid].astype(np.float64)
+                          for k in METRIC_NAMES})
+    df_bundle = pd.DataFrame([bundle_summary(out)])
+    return df_sl, df_bundle
+
+
+def compute_streamline_metrics(vtk_path: str | Path,
+                               max_streamlines: Optional[int] = None,
+                               dtype=jnp.float32
+                               ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Preserved public API (reference: tract_geom_proc.py:153-212).
+
+    Returns ``(df_sl, df_bundle)`` with the reference's exact column schema.
+    """
+    sls = read_streamlines(vtk_path, max_streamlines=max_streamlines)
+    return metrics_dataframe(sls, dtype=dtype)
+
+
+# ----------------------------------------------------------------------------
+# Batched cohort execution
+# ----------------------------------------------------------------------------
+def batched_bundle_metrics(bundles: List[List[np.ndarray]],
+                           dtype=jnp.float32) -> List[Dict[str, float]]:
+    """Bundle summaries for many bundles with a few fused device dispatches.
+
+    Streamlines from every bundle are pooled, bucketed by padded point count
+    (powers of two >= 32), and each bucket runs as one ``streamline_metrics``
+    call.  Per-streamline results are then regrouped by bundle on the host.
+    """
+    # (bundle_idx, streamline) pool per P-bucket
+    buckets: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+    for bi, bundle in enumerate(bundles):
+        for sl in bundle:
+            buckets.setdefault(_bucket_P(len(sl)), []).append((bi, sl))
+
+    per_bundle: Dict[int, Dict[str, List[np.ndarray]]] = {
+        bi: {k: [] for k in (*METRIC_NAMES, "valid")} for bi in range(len(bundles))}
+
+    for P, items in sorted(buckets.items()):
+        sls = [sl for _, sl in items]
+        # Pad the batch axis to a power of two to bound recompilations.
+        S = len(sls)
+        S_pad = max(_BUCKET_MIN, 1 << (S - 1).bit_length())
+        pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S), max_points=P)
+        out = streamline_metrics(jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
+        out = {k: np.asarray(v)[:S] for k, v in out.items()}
+        for j, (bi, _) in enumerate(items):
+            for k in per_bundle[bi]:
+                per_bundle[bi][k].append(out[k][j])
+
+    summaries = []
+    for bi in range(len(bundles)):
+        vals = {k: np.asarray(v) for k, v in per_bundle[bi].items()}
+        summaries.append(bundle_summary(vals))
+    return summaries
+
+
+# ----------------------------------------------------------------------------
+# Cohort driver
+# ----------------------------------------------------------------------------
+def bundle_path(data_dir: Path, subject_id: str, timepoint: str,
+                tract: str) -> Optional[Path]:
+    """Bundle file location, preferring .vtk.gz then .vtk (reference:
+    comprehensive_tract_geometry_analysis.py:86-93)."""
+    p = data_dir / subject_id / timepoint / "bundles" / f"{tract}_curves.vtk.gz"
+    if p.exists():
+        return p
+    p = p.with_suffix("")  # drop .gz
+    return p if p.exists() else None
+
+
+def process_all_tracts(config: Config, data_dir: Path,
+                       max_streamlines: Optional[int] = 100,
+                       dtype=jnp.float32) -> pd.DataFrame:
+    """Cohort geometry metrics (reference: :134-220), batched.
+
+    Missing files are warned and skipped — the skip-and-continue fault
+    tolerance contract is load-bearing downstream (SURVEY.md §5.3).
+    """
+    subjects_by_group = config.subjects_by_group()
+    timepoints = list(config.timepoints)
+    tracts = list(config.geometry_tracts)
+
+    meta: List[Dict[str, str]] = []
+    bundles: List[List[np.ndarray]] = []
+    t0 = time.perf_counter()
+    for group, subjects in subjects_by_group.items():
+        for subject_id in sorted(subjects):
+            for timepoint in timepoints:
+                for tract in tracts:
+                    path = bundle_path(data_dir, subject_id, timepoint, tract)
+                    if path is None:
+                        log.warning("tract file not found: %s/%s/%s",
+                                    subject_id, timepoint, tract)
+                        continue
+                    try:
+                        sls = read_streamlines(path, max_streamlines=max_streamlines)
+                    except Exception as e:  # corrupt file → skip, don't abort
+                        log.error("failed to read %s: %s", path, e)
+                        continue
+                    if not sls:
+                        log.warning("no streamlines in %s", path)
+                        continue
+                    bundles.append(sls)
+                    meta.append(dict(subject_id=subject_id, timepoint=timepoint,
+                                     tract=tract, group=group))
+    t_read = time.perf_counter() - t0
+    log.info("read %d bundles in %.2fs", len(bundles), t_read)
+
+    if not bundles:
+        return pd.DataFrame()
+
+    t0 = time.perf_counter()
+    summaries = batched_bundle_metrics(bundles, dtype=dtype)
+    log.info("computed %d bundle summaries in %.2fs",
+             len(summaries), time.perf_counter() - t0)
+
+    rows = []
+    for summ, m in zip(summaries, meta):
+        if summ["n_streamlines"] == 0:
+            log.warning("no valid streamlines for %s", m)
+            continue
+        row = dict(summ)
+        row.update(m)  # metadata columns go last, as in the reference (:112-115)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def generate_summary_statistics(results_df: pd.DataFrame, output_dir: Path
+                                ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Group/timepoint and tract/group summary CSVs (reference: :223-296)."""
+    key_metrics = ["length_mean", "tortuosity_mean", "curv_mean_avg",
+                   "elongation_ratio_mean", "planarity_ratio_mean"]
+
+    summary_stats = []
+    for group in sorted(results_df["group"].unique()):
+        for tp in sorted(results_df["timepoint"].unique()):
+            subset = results_df[(results_df["group"] == group)
+                                & (results_df["timepoint"] == tp)]
+            if len(subset) == 0:
+                continue
+            row = {"group": group, "timepoint": tp, "n_records": len(subset),
+                   "n_subjects": subset["subject_id"].nunique(),
+                   "n_tracts": subset["tract"].nunique()}
+            for metric in key_metrics:
+                if metric in subset.columns:
+                    row[f"{metric}_mean"] = subset[metric].mean()
+                    row[f"{metric}_std"] = subset[metric].std()
+            summary_stats.append(row)
+    summary_df = pd.DataFrame(summary_stats)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    summary_df.to_csv(output_dir / "summary_statistics_by_group_timepoint.csv",
+                      index=False)
+
+    tract_summary = []
+    for tract in sorted(results_df["tract"].unique()):
+        for group in sorted(results_df["group"].unique()):
+            subset = results_df[(results_df["tract"] == tract)
+                                & (results_df["group"] == group)]
+            if len(subset) == 0:
+                continue
+            tract_summary.append({
+                "tract": tract, "group": group, "n_records": len(subset),
+                "length_mean": subset["length_mean"].mean(),
+                "length_std": subset["length_mean"].std(),
+                "tortuosity_mean": subset["tortuosity_mean"].mean(),
+                "tortuosity_std": subset["tortuosity_mean"].std(),
+                "curv_mean": subset["curv_mean_avg"].mean(),
+                "curv_std": subset["curv_mean_avg"].std(),
+            })
+    tract_summary_df = pd.DataFrame(tract_summary)
+    tract_summary_df.to_csv(output_dir / "summary_statistics_by_tract_group.csv",
+                            index=False)
+    return summary_df, tract_summary_df
+
+
+def run_geometry(config: Optional[Config] = None,
+                 data_dir: str | Path | None = None,
+                 output_dir: str | Path | None = None,
+                 max_streamlines: Optional[int] = 100,
+                 dtype=jnp.float32) -> pd.DataFrame:
+    """End-to-end geometry stage (reference main():299-329)."""
+    config = config or load_config()
+    base = Path(config.base_path)
+    data_dir = Path(data_dir) if data_dir else base / "data"
+    output_dir = (Path(output_dir) if output_dir
+                  else base / "results" / "comprehensive_tract_geometry")
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    results_df = process_all_tracts(config, data_dir,
+                                    max_streamlines=max_streamlines, dtype=dtype)
+    if len(results_df) == 0:
+        log.error("no tracts successfully processed")
+        return results_df
+    results_df.to_csv(output_dir / "comprehensive_tract_geometry_metrics.csv",
+                      index=False)
+    generate_summary_statistics(results_df, output_dir)
+    log.info("geometry stage complete: %d records -> %s",
+             len(results_df), output_dir)
+    return results_df

@@ -1,0 +1,81 @@
+"""Geometry pipeline end-to-end on a synthetic cohort."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from lesionvae_tpu.io import synth
+from lesionvae_tpu.io.synth import tiny_config
+from lesionvae_tpu.pipeline import geometry_run
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    cfg = tiny_config(n_per_group=1, tracts=["atr_left", "fimbria_right"])
+    root = synth.generate_cohort(tmp_path_factory.mktemp("cohort"), cfg, seed=5,
+                                 n_streamlines=8, volume_shape=(16, 16, 16),
+                                 with_profiles=False)
+    return cfg, root
+
+
+EXPECTED_COLS = [
+    "n_streamlines", "length_mean", "tortuosity_mean", "curv_mean_avg",
+    "curv_energy_mean", "torsion_mean_avg", "bend_angle_mean_avg",
+    "elongation_ratio_mean", "planarity_ratio_mean", "anisotropy_ratio_mean",
+    "ang_dispersion_mean", "centroid_x_mean", "centroid_y_mean",
+    "centroid_z_mean", "subject_id", "timepoint", "tract", "group",
+]
+
+
+def test_run_geometry_csv_schema(cohort, tmp_path):
+    cfg, root = cohort
+    df = geometry_run.run_geometry(cfg, data_dir=root / "data",
+                                   output_dir=tmp_path, max_streamlines=100,
+                                   dtype=jnp.float64)
+    # 3 subjects x 4 timepoints x 2 tracts
+    assert len(df) == 3 * 4 * 2
+    assert list(df.columns) == EXPECTED_COLS
+    csv = pd.read_csv(tmp_path / "comprehensive_tract_geometry_metrics.csv")
+    assert list(csv.columns) == EXPECTED_COLS
+    assert (tmp_path / "summary_statistics_by_group_timepoint.csv").exists()
+    assert (tmp_path / "summary_statistics_by_tract_group.csv").exists()
+    assert set(csv["group"]) == {"Sham", "TBI", "PTE"}
+    assert (csv["n_streamlines"] == 8).all()
+
+
+def test_public_api_matches_batched(cohort):
+    """compute_streamline_metrics (single bundle) must agree with the
+    bucketed batched cohort path."""
+    cfg, root = cohort
+    sid = cfg.subjects_by_group()["TBI"][0]
+    path = root / "data" / sid / "9d" / "bundles" / "atr_left_curves.vtk.gz"
+    df_sl, df_bundle = geometry_run.compute_streamline_metrics(
+        path, max_streamlines=100, dtype=jnp.float64)
+    assert len(df_sl) == 8
+    from lesionvae_tpu.io.vtk import read_streamlines
+    sls = read_streamlines(path, max_streamlines=100)
+    batched = geometry_run.batched_bundle_metrics([sls], dtype=jnp.float64)[0]
+    for k, v in batched.items():
+        np.testing.assert_allclose(df_bundle.iloc[0][k], v, rtol=1e-12,
+                                   err_msg=k)
+
+
+def test_max_streamlines_cap(cohort):
+    cfg, root = cohort
+    sid = cfg.subjects_by_group()["Sham"][0]
+    path = root / "data" / sid / "2d" / "bundles" / "atr_left_curves.vtk.gz"
+    df_sl, df_bundle = geometry_run.compute_streamline_metrics(
+        path, max_streamlines=3)
+    assert len(df_sl) == 3
+    assert df_bundle.iloc[0]["n_streamlines"] == 3
+
+
+def test_missing_files_skipped(cohort, tmp_path):
+    cfg, root = cohort
+    cfg2 = tiny_config(n_per_group=1, tracts=["atr_left", "nonexistent_tract"])
+    df = geometry_run.process_all_tracts(cfg2, root / "data",
+                                         max_streamlines=10)
+    assert set(df["tract"]) == {"atr_left"}
+    assert len(df) == 3 * 4
