@@ -1,0 +1,303 @@
+"""Lesion SH + heme pipeline: preserved per-lesion API and batched cohort.
+
+The reference has two near-identical lesion analyzers (SURVEY.md §2 C10):
+- the LENIENT variant emits an all-zeros SH row for every subject x timepoint
+  so downstream merges always find a record
+  (src/lesion/lesion_sh_heme_comprehensive.py:322-441);
+- the STRICT variant returns (None, False) on any failure
+  (src/lesion/lesion_sh_shape_descriptors.py:458-569).
+Here both are one implementation with ``strict`` as a parameter.
+
+TPU-first cohort design: host preprocessing (connected components, erosion
+surface) streams per lesion, then radius sampling + SH fitting for the WHOLE
+cohort runs as a single batched device dispatch (ops/sh.py), instead of the
+reference's 104-item Python loop (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core.config import Config, load_config
+from ..io import nifti
+from ..ops import volume as vol
+from ..ops.padding import pad_batch
+from ..ops.sh import cached_basis, sample_radii, sh_fit_batch
+from ..utils.logging import get_logger
+
+log = get_logger("lesion")
+
+MIN_LESION_VOXELS = 10     # lesion_sh_heme_comprehensive.py:368
+MIN_SURFACE_POINTS = 100   # :382
+
+
+def _sh_zero_fields(max_l: int, interleaved: bool) -> Dict[str, float]:
+    """Zero SH descriptor fields in the reference's insertion order.
+
+    LENIENT interleaves P{l}/P{l}_raw/c{l}_0 (:347-351); STRICT groups all
+    P{l}, then all P{l}_raw, then all c{l}_0 (:551-563)."""
+    out: Dict[str, float] = {}
+    if interleaved:
+        for l in range(max_l + 1):
+            out[f"P{l}"] = 0.0
+            out[f"P{l}_raw"] = 0.0
+            out[f"c{l}_0"] = 0.0
+    else:
+        for l in range(max_l + 1):
+            out[f"P{l}"] = 0.0
+        for l in range(max_l + 1):
+            out[f"P{l}_raw"] = 0.0
+        for l in range(max_l + 1):
+            out[f"c{l}_0"] = 0.0
+    out["reconstruction_r"] = 0.0
+    return out
+
+
+def _base_result(subject_id: str, timepoint: str,
+                 brain_volume: Optional[float], max_l: int,
+                 interleaved: bool) -> Dict:
+    res = {
+        "subject_id": subject_id,
+        "timepoint": timepoint,
+        "original_volume_mm3": 0.0,
+        "brain_volume_mm3": brain_volume,
+        "lesion_brain_ratio": 0.0,
+        "scale_factor": 0.0,
+        "centroid_x": 0.0, "centroid_y": 0.0, "centroid_z": 0.0,
+        "num_surface_points": 0,
+    }
+    res.update(_sh_zero_fields(max_l, interleaved))
+    return res
+
+
+class _PreparedLesion:
+    """Host-side lesion preprocessing output, ready for device batching."""
+
+    __slots__ = ("surface", "centroid_mm", "scale", "volume", "n_surface")
+
+    def __init__(self, surface, centroid_mm, scale, volume):
+        self.surface = surface
+        self.centroid_mm = centroid_mm
+        self.scale = scale
+        self.volume = volume
+        self.n_surface = len(surface)
+
+
+def prepare_lesion(lesion_path: Path, num_samples: int,
+                   rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[Optional[_PreparedLesion], str]:
+    """Host part of the lesion analysis: LCC → centroid → unit-volume scale →
+    erosion surface (reference :361-384).  Returns (prepared|None, reason)."""
+    if not lesion_path.exists():
+        return None, "missing"
+    try:
+        img = nifti.load(lesion_path)
+        lesion_data = img.get_fdata()
+        affine = img.affine
+    except Exception as e:
+        log.warning("error loading lesion %s: %s", lesion_path, e)
+        return None, "error"
+    largest_cc = vol.extract_largest_connected_component(lesion_data)
+    if np.sum(largest_cc) < MIN_LESION_VOXELS:
+        return None, "too_small"
+    centroid_voxel = vol.compute_centroid(largest_cc)
+    centroid_mm = nifti.apply_affine(affine, centroid_voxel)
+    scale, volume = vol.normalize_to_unit_volume(largest_cc, affine)
+    surface = vol.extract_surface_points(largest_cc, affine,
+                                         num_points=num_samples, rng=rng)
+    if len(surface) < MIN_SURFACE_POINTS:
+        return None, "few_surface_points"
+    return _PreparedLesion(surface, centroid_mm, scale, volume), "ok"
+
+
+def _sh_device_batch(prepared: List[_PreparedLesion], max_l: int,
+                     num_samples: int) -> List[Dict[str, np.ndarray]]:
+    """One batched TPU dispatch: radius sampling + SH fit for all lesions."""
+    if not prepared:
+        return []
+    x64 = jax.config.jax_enable_x64
+    directions, _theta, _phi, basis, chol_c = cached_basis(
+        max_l, num_samples, x64=x64)
+    dtype = np.float64 if x64 else np.float32
+    surf, counts = pad_batch([p.surface for p in prepared], dtype=dtype)
+    cens = np.stack([p.centroid_mm for p in prepared]).astype(dtype)
+    scales = np.array([p.scale for p in prepared], dtype=dtype)
+
+    radii = sample_radii(jnp.asarray(surf), jnp.asarray(counts),
+                         jnp.asarray(cens), directions)
+    radii_normalized = radii * jnp.asarray(scales)[:, None]  # :392-393
+    out = sh_fit_batch(radii_normalized, basis, chol_c, max_l=max_l)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    return [
+        {k: out[k][i] for k in ("coeffs", "P_raw", "P_norm",
+                                "reconstruction_r", "c_l0")}
+        for i in range(len(prepared))
+    ]
+
+
+def _fill_sh_fields(result: Dict, p: _PreparedLesion, sh: Dict,
+                    brain_volume: Optional[float], max_l: int,
+                    strict: bool) -> None:
+    ratio = (p.volume / brain_volume if brain_volume else
+             (None if strict else 0.0))
+    result.update({
+        "original_volume_mm3": p.volume,
+        "lesion_brain_ratio": ratio,
+        "scale_factor": p.scale,
+        "centroid_x": p.centroid_mm[0],
+        "centroid_y": p.centroid_mm[1],
+        "centroid_z": p.centroid_mm[2],
+        "num_surface_points": p.n_surface,
+    })
+    for l in range(max_l + 1):
+        result[f"P{l}"] = float(sh["P_norm"][l])
+        result[f"P{l}_raw"] = float(sh["P_raw"][l])
+        result[f"c{l}_0"] = float(sh["c_l0"][l])
+    result["reconstruction_r"] = float(sh["reconstruction_r"])
+
+
+def analyze_single_lesion(subject_id: str, timepoint: str,
+                          data_dir: str | Path, output_dir: str | Path = None,
+                          max_l: int = 6, num_samples: int = 2000,
+                          strict: bool = False,
+                          rng: Optional[np.random.Generator] = None
+                          ) -> Tuple[Optional[Dict], bool]:
+    """Preserved public API (both reference variants; ``strict`` selects).
+
+    Lenient (default): always returns (result, True); missing/small lesions
+    yield zero SH descriptors (:322-441).  Strict: (None, False) on failure
+    (lesion_sh_shape_descriptors.py:458-503)."""
+    data_dir = Path(data_dir)
+    lesion_path = data_dir / str(subject_id) / timepoint / "lesion_cleaned.nii.gz"
+    brain_volume = vol.compute_brain_volume(str(subject_id), timepoint, data_dir)
+    result = _base_result(str(subject_id), timepoint, brain_volume, max_l,
+                          interleaved=not strict)
+
+    p, reason = prepare_lesion(lesion_path, num_samples, rng=rng)
+    if p is None:
+        if strict:
+            log.warning("lesion %s@%s failed (%s)", subject_id, timepoint, reason)
+            return None, False
+        log.info("lesion %s@%s: %s — zero SH descriptors", subject_id,
+                 timepoint, reason)
+        return result, True
+
+    sh = _sh_device_batch([p], max_l, num_samples)[0]
+    _fill_sh_fields(result, p, sh, brain_volume, max_l, strict)
+    return result, True
+
+
+# ----------------------------------------------------------------------------
+# Cohort drivers
+# ----------------------------------------------------------------------------
+def analyze_all_lesions(config: Config, data_dir: Path,
+                        max_l: int = 6, num_samples: int = 2000,
+                        strict: bool = False, with_heme: bool = True,
+                        seed: Optional[int] = 0) -> pd.DataFrame:
+    """Batched cohort analysis over TBI+PTE subjects x all timepoints.
+
+    Mirrors analyze_all_lesions_and_heme (lenient, :444-529) or
+    analyze_all_lesions (strict, lesion_sh_shape_descriptors.py:572-643),
+    but the SH math for every lesion runs as one device batch."""
+    subjects_by_group = config.subjects_by_group(only=("TBI", "PTE"))
+    group_mapping = {s: g for g, subs in subjects_by_group.items() for s in subs}
+    all_subjects = sorted(group_mapping)
+    timepoints = list(config.timepoints)
+
+    rows: List[Dict] = []
+    pending: List[Tuple[int, _PreparedLesion]] = []  # (row index, prepared)
+    rng = np.random.default_rng(seed) if seed is not None else None
+
+    for subject_id in all_subjects:
+        for timepoint in timepoints:
+            brain_volume = vol.compute_brain_volume(subject_id, timepoint, data_dir)
+            lesion_path = (data_dir / subject_id / timepoint
+                           / "lesion_cleaned.nii.gz")
+            p, reason = prepare_lesion(lesion_path, num_samples, rng=rng)
+            if p is None and strict:
+                log.info("skip %s@%s (%s)", subject_id, timepoint, reason)
+                continue
+            result = _base_result(subject_id, timepoint, brain_volume, max_l,
+                                  interleaved=not strict)
+            if p is not None:
+                pending.append((len(rows), p))
+            result["_brain_volume"] = brain_volume
+            result["group"] = group_mapping[subject_id]
+            if with_heme:
+                heme = vol.compute_heme_content(subject_id, timepoint, data_dir)
+                result.update(heme if heme is not None else {
+                    k: np.nan for k in vol.HEME_ZERO})
+            rows.append(result)
+
+    # one fused device batch for every real lesion in the cohort
+    sh_results = _sh_device_batch([p for _, p in pending], max_l, num_samples)
+    for (idx, p), sh in zip(pending, sh_results):
+        _fill_sh_fields(rows[idx], p, sh, rows[idx]["_brain_volume"], max_l,
+                        strict)
+    for r in rows:
+        r.pop("_brain_volume", None)
+
+    df = pd.DataFrame(rows)
+    log.info("lesion analysis complete: %d records (strict=%s)", len(df), strict)
+    return df
+
+
+def run_lesion_analysis(config: Optional[Config] = None,
+                        data_dir: str | Path | None = None,
+                        output_dir: str | Path | None = None,
+                        max_l: int = 6, num_samples: int = 2000,
+                        seed: Optional[int] = 0) -> pd.DataFrame:
+    """Lenient SH+heme stage → lesion_sh_heme_comprehensive.csv
+    (reference main(): lesion_sh_heme_comprehensive.py:532-575)."""
+    config = config or load_config()
+    base = Path(config.base_path)
+    data_dir = Path(data_dir) if data_dir else base / "data"
+    output_dir = (Path(output_dir) if output_dir
+                  else base / "results" / "lesion_sh_heme_comprehensive")
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    df = analyze_all_lesions(config, data_dir, max_l=max_l,
+                             num_samples=num_samples, strict=False,
+                             with_heme=True, seed=seed)
+    if len(df):
+        df.to_csv(output_dir / "lesion_sh_heme_comprehensive.csv", index=False)
+    return df
+
+
+def run_lesion_shape_descriptors(config: Optional[Config] = None,
+                                 data_dir: str | Path | None = None,
+                                 output_dir: str | Path | None = None,
+                                 max_l: int = 6, num_samples: int = 2000,
+                                 seed: Optional[int] = 0,
+                                 make_plots: bool = True) -> pd.DataFrame:
+    """Strict SH stage → lesion_sh_descriptors.csv + group statistics
+    (reference main(): lesion_sh_shape_descriptors.py:1019-1053)."""
+    config = config or load_config()
+    base = Path(config.base_path)
+    data_dir = Path(data_dir) if data_dir else base / "data"
+    output_dir = (Path(output_dir) if output_dir
+                  else base / "results" / "lesion_sh_descriptors_cleaned")
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    df = analyze_all_lesions(config, data_dir, max_l=max_l,
+                             num_samples=num_samples, strict=True,
+                             with_heme=False, seed=seed)
+    if len(df) == 0:
+        log.error("no lesions successfully analyzed")
+        return df
+    df.to_csv(output_dir / "lesion_sh_descriptors.csv", index=False)
+
+    from ..viz.lesion_viz import (compute_group_statistics,
+                                  visualize_brain_volume_analysis,
+                                  visualize_group_spectra)
+    stats_df = compute_group_statistics(df, output_dir)
+    if make_plots:
+        visualize_group_spectra(df, stats_df, output_dir)
+        visualize_brain_volume_analysis(df, output_dir)
+    return df

@@ -18,6 +18,11 @@ import jax  # noqa: E402
 # explicitly so TPU behavior is still exercised.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the 1-core CI host pays heavy XLA compile
+# times; caching makes repeated test runs much faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lesionvae")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
