@@ -1,0 +1,156 @@
+"""Torch-semantics layers for the lesion VAE, channel-last for TPU.
+
+The reference model (src/vae/vae_model.py:17-121) is built from Conv1d /
+BatchNorm1d / AvgPool1d / ConvTranspose1d / linear Upsample.  We keep tensors
+channel-LAST ((N, L, C) — feature dim on the TPU lane axis) instead of
+torch's (N, C, L), and add a batch-row mask so padded rows in the fully-jitted
+training loop never contaminate batch statistics (SURVEY.md §7 hard part #2).
+
+``MaskedBatchNorm`` reproduces torch BatchNorm1d exactly: biased batch
+variance for normalization, unbiased variance in the running-stat update,
+momentum 0.1, eps 1e-5.  ``interp_linear`` reproduces
+``F.interpolate(mode="linear", align_corners=False)`` including edge clamping
+(used by Upsample at vae_model.py:63-70 and the final resize at :112-113).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def torch_linear_init(fan_in: int):
+    """torch Linear/Conv default init: kaiming_uniform(a=√5) ⇒ U(±1/√fan_in)
+    for both weight and bias — used so training curves are distributionally
+    comparable to the reference."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return _uniform_init(bound), _uniform_init(bound)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (N, L) per channel with a validity mask on N."""
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                 train: bool) -> jnp.ndarray:
+        # x: (N, L, C); mask: (N,) in {0, 1} or None
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if train:
+            if mask is None:
+                cnt = jnp.asarray(x.shape[0] * x.shape[1], x.dtype)
+                mean = jnp.mean(x, axis=(0, 1))
+                var = jnp.mean((x - mean) ** 2, axis=(0, 1))
+            else:
+                m = mask[:, None, None].astype(x.dtype)
+                cnt = jnp.maximum(jnp.sum(mask) * x.shape[1], 1.0)
+                mean = jnp.sum(x * m, axis=(0, 1)) / cnt
+                var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        return y * gamma + beta
+
+
+def avg_pool_half(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool1d(kernel=2, stride=2), floor mode — drops an odd tail element
+    exactly like torch (25 → 12 in the micro encoder, vae_model.py:40)."""
+    L = (x.shape[1] // 2) * 2
+    x = x[:, :L]
+    return 0.5 * (x[:, 0::2] + x[:, 1::2])
+
+
+def interp_linear(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Linear resize along axis 1, torch align_corners=False semantics.
+
+    src position of output i: (i + 0.5) * (L_in / L_out) - 0.5, clamped.
+    """
+    L_in = x.shape[1]
+    scale = L_in / out_size
+    src = (jnp.arange(out_size, dtype=x.dtype) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, L_in - 1.0)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, L_in - 1)
+    w = (src - lo.astype(x.dtype))[None, :, None]
+    return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
+
+
+def upsample2_linear(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2, mode='linear', align_corners=False)."""
+    return interp_linear(x, 2 * x.shape[1])
+
+
+class Conv1d(nn.Module):
+    """Conv1d(kernel=5, padding=2) torch-equivalent, channel-last."""
+
+    features: int
+    kernel: int = 5
+    padding: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w_init, b_init = torch_linear_init(x.shape[-1] * self.kernel)
+        return nn.Conv(self.features, kernel_size=(self.kernel,),
+                       padding=[(self.padding, self.padding)],
+                       use_bias=True, kernel_init=w_init, bias_init=b_init,
+                       name="conv")(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """ConvTranspose1d(kernel=5, stride=1, padding=2).
+
+    With stride 1 this is exactly a regular convolution with the kernel
+    flipped and padding (kernel-1-padding); we implement it as nn.Conv
+    (weight-copy parity with torch handles the flip, tests/test_vae_parity).
+    torch computes ConvTranspose fan_in from weight dim 1 = out_channels.
+    """
+
+    features: int
+    kernel: int = 5
+    padding: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w_init, b_init = torch_linear_init(self.features * self.kernel)
+        eff = self.kernel - 1 - self.padding
+        return nn.Conv(self.features, kernel_size=(self.kernel,),
+                       padding=[(eff, eff)], use_bias=True,
+                       kernel_init=w_init, bias_init=b_init, name="conv")(x)
+
+
+class Dense(nn.Module):
+    """Linear layer with torch default init."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w_init, b_init = torch_linear_init(x.shape[-1])
+        return nn.Dense(self.features, kernel_init=w_init, bias_init=b_init,
+                        name="dense")(x)

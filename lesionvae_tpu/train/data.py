@@ -1,0 +1,148 @@
+"""VAE tensor building and normalization.
+
+Ports of the reference's data stage:
+- ``csv_path`` / ``build_tensor_with_lesion_context``
+  (src/vae/data_loader.py:10-148): pivot per-subject long CSVs into
+  (n_streamlines, 100, n_feats) tensors, with the reference's quirks kept —
+  missing lesion features imputed identically for Sham and non-Sham
+  (in_lesion/in_cavity=False, lesion_distance=15.0, :77-88), lesion_distance
+  hard-coded as column 2 clipped to [0,15]/15 (:116-117), exactly 100 nodes
+  required (:98-100).
+- ``fit_normalization_stats`` / ``apply_normalization``
+  (src/vae/normalization.py:8-69): per-feature median/mean/std over finite
+  values (std floor 1e-6), median-impute, z-score, clamp ±1e6.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..utils.logging import get_logger
+
+log = get_logger("data")
+
+
+def csv_path(base_path, subject_id, tp) -> Path:
+    return (Path(base_path) / "results" / str(subject_id)
+            / f"timepoint_analysis_{subject_id}_{tp}"
+            / f"comprehensive_tract_data_{subject_id}_{tp}.csv")
+
+
+def build_tensor_with_lesion_context(
+        base_path, tract: str, tp: str, subjects: Sequence,
+        micro_feats: Sequence[str], lesion_feats: Sequence[str],
+        groups_dict: Dict[str, List]) -> Tuple[np.ndarray, np.ndarray,
+                                               np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """Returns (X_micro, X_lesion, subj_ids, group_labels, s)."""
+    X_micro_list, X_lesion_list = [], []
+    subj_stream_ids, group_stream_labels = [], []
+
+    subj_to_group = {str(sid): g for g, subs in groups_dict.items()
+                     for sid in subs}
+
+    df = None
+    for sid in subjects:
+        fp = csv_path(base_path, sid, tp)
+        if not fp.exists():
+            log.warning("missing %s", fp)
+            continue
+        df = pd.read_csv(fp)
+        df = df[df["tract_id"] == tract].copy()
+        if df.empty:
+            continue
+
+        missing_micro = [c for c in micro_feats if c not in df.columns]
+        if missing_micro:
+            log.warning("missing microstructure features in %s: %s",
+                        fp, missing_micro)
+            continue
+
+        subject_group = subj_to_group[str(sid)]
+        for lf in lesion_feats:
+            if lf not in df.columns:
+                # imputation is identical for Sham and lesioned groups
+                # (data_loader.py:79-88)
+                if lf in ("in_lesion", "in_cavity"):
+                    df[lf] = False
+                elif lf == "lesion_distance":
+                    df[lf] = 15.0
+                if subject_group != "Sham" and tp in ("2d", "9d"):
+                    log.info("%s (%s) @ %s: lesion data may be minimal "
+                             "(acute phase)", sid, subject_group, tp)
+
+        df.sort_values(["streamline_id", "point_id"], inplace=True)
+        stream_ids = sorted(df["streamline_id"].unique())
+        nodes = sorted(df["point_id"].unique())
+        if len(nodes) != 100:
+            log.warning("%s has %d nodes, expected 100", fp, len(nodes))
+            continue
+
+        wide_micro = df.pivot(index="point_id", columns="streamline_id",
+                              values=list(micro_feats))
+        wide_lesion = df.pivot(index="point_id", columns="streamline_id",
+                               values=list(lesion_feats))
+        for s_id in stream_ids:
+            mat_micro = wide_micro.xs(s_id, axis=1, level=1).reindex(nodes)
+            mat_lesion = wide_lesion.xs(s_id, axis=1, level=1).reindex(nodes)
+            lesion_vals = mat_lesion.values.astype(np.float32)
+            lesion_vals[:, 2] = np.clip(lesion_vals[:, 2], 0, 15) / 15.0
+            X_micro_list.append(mat_micro.values.astype(np.float32))
+            X_lesion_list.append(lesion_vals)
+            subj_stream_ids.append(sid)
+            group_stream_labels.append(subject_group)
+
+    if not X_micro_list:
+        raise ValueError(f"No data for {tract} @ {tp}")
+
+    X_micro = np.stack(X_micro_list, axis=0)
+    X_lesion = np.stack(X_lesion_list, axis=0)
+    subj_ids = np.array(subj_stream_ids)
+    group_labels = np.array(group_stream_labels)
+
+    s_vals = df["position_along_tract"].unique()
+    s = (np.linspace(0, 1, 100) if len(s_vals) != 100
+         else np.sort(s_vals.astype(float)))
+
+    log.info("%s@%s: X_micro=%s, X_lesion=%s", tract, tp, X_micro.shape,
+             X_lesion.shape)
+    return X_micro, X_lesion, subj_ids, group_labels, s
+
+
+def fit_normalization_stats(X_micro: np.ndarray, X_lesion: np.ndarray,
+                            feat_names: Sequence[str]) -> Dict[str, np.ndarray]:
+    """Per-feature median/mean/std over finite values (normalization.py:8-40)."""
+    X = X_micro.reshape(-1, X_micro.shape[-1])
+    finite = np.isfinite(X)
+    meds = np.zeros(X.shape[1], np.float32)
+    mus = np.zeros(X.shape[1], np.float32)
+    stds = np.ones(X.shape[1], np.float32)
+    for j in range(X.shape[1]):
+        xj = X[finite[:, j], j]
+        if xj.size:
+            meds[j] = np.nanmedian(xj)
+            mus[j] = np.nanmean(xj)
+            stds[j] = max(float(np.nanstd(xj)), 1e-6)
+        else:
+            meds[j] = mus[j] = 0.0
+            stds[j] = 1.0
+    return {"median": meds, "mean": mus, "std": stds}
+
+
+def apply_normalization(X_micro: np.ndarray, X_lesion: np.ndarray,
+                        stats: Dict[str, np.ndarray]
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Median-impute non-finite, z-score, clamp ±1e6 (normalization.py:43-69)."""
+    Xc = X_micro.copy()
+    med = stats["median"][None, None, :]
+    bad = ~np.isfinite(Xc)
+    if bad.any():
+        Xc[bad] = np.broadcast_to(med, Xc.shape)[bad]
+    Xz = (Xc - stats["mean"][None, None, :]) / stats["std"][None, None, :]
+    Xz = np.nan_to_num(Xz, nan=0.0, posinf=1e6, neginf=-1e6).astype(np.float32)
+    X_lesion = np.nan_to_num(X_lesion, nan=0.0).astype(np.float32)
+    return Xz, X_lesion
