@@ -1,0 +1,163 @@
+"""Single CLI entry point — replaces the reference's four sys.path-shim
+scripts (scripts/run_tract_geometry.py etc., reference L4 of SURVEY.md §1):
+
+    python -m lesionvae_tpu geometry   [--data-dir D] [--output-dir O] ...
+    python -m lesionvae_tpu lesion     [--strict] ...
+    python -m lesionvae_tpu vae        --tract atr_left ...
+    python -m lesionvae_tpu classify   [--data CSV] ...
+    python -m lesionvae_tpu correlate  ...
+    python -m lesionvae_tpu all        (geometry → lesion → classify → correlate)
+    python -m lesionvae_tpu synth      (generate a synthetic cohort)
+
+Unlike the reference (no argparse anywhere, paths hardcoded), every stage
+takes explicit flags with config-file defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from .core.config import load_config
+from .utils.logging import get_logger
+
+log = get_logger("cli")
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", default=None, help="tract_config.json path")
+    p.add_argument("--base-path", default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _resolve(args):
+    config = load_config(args.config)
+    base = Path(args.base_path or config.base_path)
+    data_dir = Path(args.data_dir) if args.data_dir else base / "data"
+    out_root = Path(args.output_dir) if args.output_dir else base / "results"
+    return config, base, data_dir, out_root
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="lesionvae_tpu")
+    sub = parser.add_subparsers(dest="stage", required=True)
+
+    p = sub.add_parser("geometry", help="tract geometry metrics")
+    _add_common(p)
+    p.add_argument("--max-streamlines", type=int, default=100)
+
+    p = sub.add_parser("lesion", help="lesion SH + heme analysis")
+    _add_common(p)
+    p.add_argument("--strict", action="store_true",
+                   help="strict variant (skip missing lesions, extra figures)")
+    p.add_argument("--max-l", type=int, default=6)
+    p.add_argument("--num-samples", type=int, default=2000)
+
+    p = sub.add_parser("vae", help="VAE training + z-score analysis")
+    _add_common(p)
+    p.add_argument("--tract", required=True)
+    p.add_argument("--latent-dim", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--no-plots", action="store_true")
+
+    p = sub.add_parser("classify", help="TBI-vs-PTE classification")
+    _add_common(p)
+    p.add_argument("--geometry-csv", default=None)
+
+    p = sub.add_parser("correlate", help="lesion-tract correlation")
+    _add_common(p)
+    p.add_argument("--geometry-csv", default=None)
+    p.add_argument("--lesion-csv", default=None)
+
+    p = sub.add_parser("all", help="full pipeline")
+    _add_common(p)
+    p.add_argument("--max-streamlines", type=int, default=100)
+    p.add_argument("--num-samples", type=int, default=2000)
+
+    p = sub.add_parser("synth", help="generate a synthetic cohort")
+    _add_common(p)
+    p.add_argument("--n-streamlines", type=int, default=30)
+    p.add_argument("--volume", type=int, default=32)
+
+    args = parser.parse_args(argv)
+    config, base, data_dir, out_root = _resolve(args)
+    t0 = time.perf_counter()
+
+    if args.stage == "geometry":
+        from .pipeline.geometry_run import run_geometry
+        run_geometry(config, data_dir,
+                     out_root / "comprehensive_tract_geometry",
+                     max_streamlines=args.max_streamlines)
+
+    elif args.stage == "lesion":
+        from .pipeline.lesion_run import (run_lesion_analysis,
+                                          run_lesion_shape_descriptors)
+        if args.strict:
+            run_lesion_shape_descriptors(
+                config, data_dir, out_root / "lesion_sh_descriptors_cleaned",
+                max_l=args.max_l, num_samples=args.num_samples, seed=args.seed)
+        else:
+            run_lesion_analysis(
+                config, data_dir, out_root / "lesion_sh_heme_comprehensive",
+                max_l=args.max_l, num_samples=args.num_samples, seed=args.seed)
+
+    elif args.stage == "vae":
+        from .pipeline.vae_run import run_vae_analysis
+        run_vae_analysis(args.tract, latent_dim=args.latent_dim,
+                         epochs=args.epochs, batch_size=args.batch_size,
+                         lr=args.lr, config=config, base_path=base,
+                         output_dir=out_root / "vae_analysis" / args.tract,
+                         seed=args.seed, make_plots=not args.no_plots)
+
+    elif args.stage == "classify":
+        from .pipeline.classification import run_classification
+        csv = (Path(args.geometry_csv) if args.geometry_csv else
+               out_root / "comprehensive_tract_geometry"
+               / "comprehensive_tract_geometry_metrics.csv")
+        run_classification(csv, out_root / "tbi_pte_classification")
+
+    elif args.stage == "correlate":
+        from .pipeline.correlation import run_correlation
+        gcsv = (Path(args.geometry_csv) if args.geometry_csv else
+                out_root / "comprehensive_tract_geometry"
+                / "comprehensive_tract_geometry_metrics.csv")
+        lcsv = (Path(args.lesion_csv) if args.lesion_csv else
+                out_root / "lesion_sh_heme_comprehensive"
+                / "lesion_sh_heme_comprehensive.csv")
+        run_correlation(lcsv, gcsv, out_root / "lesion_tract_correlations")
+
+    elif args.stage == "all":
+        from .pipeline.classification import run_classification
+        from .pipeline.correlation import run_correlation
+        from .pipeline.geometry_run import run_geometry
+        from .pipeline.lesion_run import run_lesion_analysis
+        geo_dir = out_root / "comprehensive_tract_geometry"
+        run_geometry(config, data_dir, geo_dir,
+                     max_streamlines=args.max_streamlines)
+        les_dir = out_root / "lesion_sh_heme_comprehensive"
+        run_lesion_analysis(config, data_dir, les_dir,
+                            num_samples=args.num_samples, seed=args.seed)
+        run_classification(geo_dir / "comprehensive_tract_geometry_metrics.csv",
+                           out_root / "tbi_pte_classification")
+        run_correlation(les_dir / "lesion_sh_heme_comprehensive.csv",
+                        geo_dir / "comprehensive_tract_geometry_metrics.csv",
+                        out_root / "lesion_tract_correlations")
+
+    elif args.stage == "synth":
+        from .io.synth import generate_cohort
+        generate_cohort(base, config, seed=args.seed,
+                        n_streamlines=args.n_streamlines,
+                        volume_shape=(args.volume,) * 3)
+
+    log.info("stage %s done in %.2fs", args.stage, time.perf_counter() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,8 +52,13 @@ class MaskedBatchNorm(nn.Module):
                                 lambda: jnp.zeros(self.features, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(self.features, jnp.float32))
-        gamma = self.param("scale", nn.initializers.ones, (self.features,))
-        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        # explicit float32 param dtype: the default initializer dtype follows
+        # jnp.float_, which is float64 when x64 is enabled and would silently
+        # promote the whole forward pass
+        gamma = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
 
         if train:
             if mask is None:

@@ -1,0 +1,138 @@
+"""run_vae_analysis — the VAE stage end-to-end.
+
+The reference README advertises ``run_vae_analysis`` (README.md:103-111) but
+the function exists nowhere in the reference (SURVEY.md §2 discrepancy #1);
+its real surface is the five-step composition below (SURVEY.md §3.3).  We ship
+it as a first-class API:
+
+  build_tensor_with_lesion_context → fit/apply_normalization →
+  train_lesion_vae → compute_normative_statistics → compute_zscore_residuals
+
+plus the training-history CSV, z-score arrays, latent means, and the three
+reference figures per timepoint (viz/vae_viz.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..core.config import Config, load_config
+from ..train import data as vdata
+from ..train.normative import (compute_normative_statistics,
+                               compute_zscore_residuals)
+from ..train.trainer import train_lesion_vae
+from ..utils.logging import get_logger
+
+log = get_logger("vae")
+
+
+def run_vae_analysis(tract: str, latent_dim: int = 10, epochs: int = 40,
+                     batch_size: int = 64, lr: float = 2e-4,
+                     config: Optional[Config] = None,
+                     base_path: str | Path | None = None,
+                     timepoints: Optional[Sequence[str]] = None,
+                     output_dir: str | Path | None = None,
+                     seed: int = 42, make_plots: bool = True,
+                     mesh=None) -> Dict[str, dict]:
+    """Train a lesion-conditioned VAE per timepoint and compute normative
+    z-score deviation maps.
+
+    Returns {timepoint: {"model", "history", "Z", "magnitude", "subj_ids",
+    "group_labels", "latents", "lesion_burden", "s"}}.
+    """
+    config = config or load_config()
+    base_path = Path(base_path) if base_path else Path(config.base_path)
+    timepoints = list(timepoints if timepoints is not None else config.timepoints)
+    output_dir = (Path(output_dir) if output_dir
+                  else base_path / "results" / "vae_analysis" / tract)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    groups_dict = {g: list(s) for g, s in config.subjects_by_group().items()}
+    subjects = [s for subs in groups_dict.values() for s in subs]
+
+    results: Dict[str, dict] = {}
+    bundle_profiles, lesion_profiles, group_mappings = {}, {}, {}
+    latents_by_tp, burden_by_tp, groups_by_tp = {}, {}, {}
+
+    for tp in timepoints:
+        log.info("=== %s @ %s ===", tract, tp)
+        try:
+            Xm, Xl, subj_ids, group_labels, s = \
+                vdata.build_tensor_with_lesion_context(
+                    base_path, tract, tp, subjects,
+                    config.microstructure_features, config.lesion_features,
+                    groups_dict)
+        except ValueError as e:
+            log.warning("%s", e)
+            continue
+
+        stats = vdata.fit_normalization_stats(
+            Xm, Xl, list(config.microstructure_features))
+        Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
+
+        model, hist = train_lesion_vae(
+            Xz, Xl, latent_dim=latent_dim, epochs=epochs,
+            batch_size=batch_size, lr=lr, seed=seed, mesh=mesh)
+        hist.to_csv(output_dir / f"training_history_{tp}.csv", index=False)
+
+        sham = group_labels == "Sham"
+        if not sham.any():
+            log.warning("no Sham streamlines at %s — skipping z-scores", tp)
+            continue
+        mean_r, std_r = compute_normative_statistics(model, Xz[sham], Xl[sham],
+                                                     seed=seed)
+        Z, magnitude = compute_zscore_residuals(model, Xz, Xl, mean_r, std_r,
+                                                seed=seed + 1)
+
+        mu, _, _ = model.encode(Xz, Xl)
+        mu = np.asarray(mu)
+        lesion_burden = Xl[:, :, 0].mean(axis=1)  # mean in_lesion per streamline
+
+        np.savez_compressed(
+            output_dir / f"zscores_{tp}.npz", Z=Z, magnitude=magnitude,
+            subj_ids=subj_ids, group_labels=group_labels, latents=mu,
+            lesion_burden=lesion_burden, norm_mean=mean_r, norm_std=std_r)
+
+        results[tp] = dict(model=model, history=hist, Z=Z, magnitude=magnitude,
+                           subj_ids=subj_ids, group_labels=group_labels,
+                           latents=mu, lesion_burden=lesion_burden, s=s)
+
+        # per-subject profiles for the figures: mean |z| over
+        # (streamlines, features) per position; mean in_lesion per position
+        prof, les, gmap = {}, {}, {}
+        for sid in np.unique(subj_ids):
+            m = subj_ids == sid
+            prof[sid] = np.abs(Z[m]).mean(axis=(0, 2))
+            les[sid] = Xl[m, :, 0].mean(axis=0)
+            gmap[sid] = group_labels[m][0]
+        bundle_profiles[tp] = prof
+        lesion_profiles[tp] = les
+        group_mappings[tp] = gmap
+        latents_by_tp[tp] = mu
+        burden_by_tp[tp] = lesion_burden
+        groups_by_tp[tp] = subj_ids  # per-streamline subject ids for grouping
+
+    if make_plots and bundle_profiles:
+        from ..viz.vae_viz import (plot_latent_space_with_lesion_context,
+                                   plot_lesion_aware_deviation_profiles,
+                                   plot_lesion_impact_analysis)
+        for tp in bundle_profiles:
+            plot_lesion_aware_deviation_profiles(
+                bundle_profiles, lesion_profiles, group_mappings, tp,
+                output_dir / f"deviation_profiles_{tp}.png")
+            plot_lesion_impact_analysis(
+                bundle_profiles, lesion_profiles, group_mappings, tp,
+                output_dir / f"lesion_impact_{tp}.png")
+            plot_latent_space_with_lesion_context(
+                latents_by_tp, burden_by_tp, groups_by_tp,
+                {tp2: results[tp2]["group_labels"] for tp2 in results}, tp,
+                output_dir / f"latent_space_{tp}.png")
+
+    log.info("VAE analysis complete for %s: %d timepoints → %s",
+             tract, len(results), output_dir)
+    return results

@@ -1,0 +1,115 @@
+"""Trainer tests: history contract, loss decrease, normative z-scores,
+data building + normalization oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lesionvae_tpu.io import synth
+from lesionvae_tpu.io.synth import tiny_config
+from lesionvae_tpu.train import data as vdata
+from lesionvae_tpu.train.normative import (compute_normative_statistics,
+                                           compute_zscore_residuals)
+from lesionvae_tpu.train.trainer import train_lesion_vae
+
+SEQ, MC, LC = 48, 5, 3
+
+
+def _toy_data(n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, SEQ)
+    base = np.sin(2 * np.pi * t)[None, :, None]
+    Xm = (base + 0.1 * rng.normal(size=(n, SEQ, MC))).astype(np.float32)
+    Xl = rng.uniform(0, 1, size=(n, SEQ, LC)).astype(np.float32)
+    return Xm, Xl
+
+
+def test_training_runs_and_history_contract():
+    Xm, Xl = _toy_data(n=100)
+    model, hist = train_lesion_vae(Xm, Xl, latent_dim=4, epochs=8,
+                                   batch_size=32, seed=0)
+    assert list(hist.columns) == ["loss", "recon", "kld", "beta"]
+    assert len(hist) == 8
+    # beta anneals 0.1 → 2.0 (vae_model.py:135-137)
+    np.testing.assert_allclose(hist["beta"].iloc[0], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(hist["beta"].iloc[-1], 2.0, rtol=1e-6)
+    assert np.isfinite(hist["loss"]).all()
+    # training reduces the reconstruction error
+    assert hist["recon"].iloc[-1] < hist["recon"].iloc[0]
+
+
+def test_partial_batch_and_nan_inputs():
+    """n not divisible by batch; NaNs imputed to 0 (vae_model.py:184-185)."""
+    Xm, Xl = _toy_data(n=70, seed=1)
+    Xm[3, 5, 2] = np.nan
+    Xl[9, 0, 1] = np.nan
+    model, hist = train_lesion_vae(Xm, Xl, latent_dim=3, epochs=3,
+                                   batch_size=32, seed=1)
+    assert np.isfinite(hist[["loss", "recon", "kld"]].values).all()
+
+
+def test_determinism_same_seed():
+    Xm, Xl = _toy_data(n=64, seed=2)
+    _, h1 = train_lesion_vae(Xm, Xl, latent_dim=3, epochs=3, batch_size=32,
+                             seed=7)
+    _, h2 = train_lesion_vae(Xm, Xl, latent_dim=3, epochs=3, batch_size=32,
+                             seed=7)
+    np.testing.assert_allclose(h1.values, h2.values, rtol=1e-6)
+
+
+def test_normative_zscores():
+    Xm, Xl = _toy_data(n=96, seed=3)
+    model, _ = train_lesion_vae(Xm, Xl, latent_dim=4, epochs=5, batch_size=32,
+                                seed=3)
+    mean_r, std_r = compute_normative_statistics(model, Xm[:48], Xl[:48])
+    assert mean_r.shape == (SEQ, MC)
+    assert (std_r >= 1e-6).all()
+    z, mag = compute_zscore_residuals(model, Xm, Xl, mean_r, std_r)
+    assert z.shape == Xm.shape
+    assert mag.shape == (len(Xm),)
+    assert np.isfinite(z).all() and np.isfinite(mag).all()
+    # magnitude is RMS of z over (position, feature)
+    np.testing.assert_allclose(mag, np.sqrt((z ** 2).mean(axis=(1, 2))),
+                               rtol=1e-6)
+
+
+def test_normalization_oracle():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(50, 10, 4)).astype(np.float32) * 5 + 2
+    X[0, 0, 0] = np.nan
+    X[1, 2, 3] = np.inf
+    Xl = rng.normal(size=(50, 10, 3)).astype(np.float32)
+    stats = vdata.fit_normalization_stats(X, Xl, [f"f{i}" for i in range(4)])
+    flat = X.reshape(-1, 4)
+    for j in range(4):
+        xj = flat[np.isfinite(flat[:, j]), j]
+        np.testing.assert_allclose(stats["median"][j], np.median(xj), rtol=1e-5)
+        np.testing.assert_allclose(stats["mean"][j], xj.mean(), rtol=1e-5)
+        np.testing.assert_allclose(stats["std"][j], xj.std(), rtol=1e-5)
+    Xz, Xl2 = vdata.apply_normalization(X, Xl, stats)
+    assert np.isfinite(Xz).all()
+    # normalized features ≈ zero mean unit std (over the finite entries)
+    assert abs(Xz.reshape(-1, 4).mean(0)).max() < 0.05
+    np.testing.assert_allclose(Xz.reshape(-1, 4).std(0), 1.0, atol=0.05)
+
+
+def test_build_tensor_from_synth_csvs(tmp_path):
+    cfg = tiny_config(n_per_group=1, tracts=["atr_left"])
+    root = synth.generate_cohort(tmp_path, cfg, seed=21, n_streamlines=8,
+                                 volume_shape=(12, 12, 12), with_profiles=True)
+    groups = cfg.subjects_by_group()
+    subjects = [s for subs in groups.values() for s in subs]
+    Xm, Xl, sids, glabels, s = vdata.build_tensor_with_lesion_context(
+        root, "atr_left", "9d", subjects, cfg.microstructure_features,
+        cfg.lesion_features, groups)
+    assert Xm.shape[1:] == (100, 13)
+    assert Xl.shape[1:] == (100, 3)
+    assert Xm.shape[0] == Xl.shape[0] == len(sids) == len(glabels)
+    assert set(glabels) == {"Sham", "TBI", "PTE"}
+    # Sham CSVs lack lesion cols → imputed to 0/0/15→1.0 after clip-scale
+    sham_rows = glabels == "Sham"
+    np.testing.assert_allclose(Xl[sham_rows][:, :, 0], 0.0)
+    np.testing.assert_allclose(Xl[sham_rows][:, :, 2], 1.0)
+    # lesion_distance scaled into [0, 1]
+    assert Xl[:, :, 2].min() >= 0 and Xl[:, :, 2].max() <= 1.0
+    assert s.shape == (100,)
