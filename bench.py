@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Full-cohort benchmark: geometry + SH + VAE training on one TPU chip.
+
+Workload (reference scale, BASELINE.md):
+- geometry: 37 subjects x 4 timepoints x 16 tracts, 100 streamlines/bundle
+- lesion SH: 26 TBI/PTE subjects x 4 timepoints, 2000 sphere samples, L=6
+- VAE: 64 (tract x timepoint) VAEs trained CONCURRENTLY (vmap), 40 epochs,
+  batch 64, on (n_streamlines, 100, 13)+(.,100,3) tensors
+
+Prints ONE JSON line:
+  {"metric": "full_cohort_wallclock", "value": <s>, "unit": "s",
+   "vs_baseline": <60/value>}
+vs_baseline > 1 means faster than the driver-set 60 s single-chip target
+(the reference publishes no numbers of its own — BASELINE.md).
+
+Synthetic-cohort generation is untimed setup (deterministic; cached in /tmp).
+The JAX persistent compilation cache amortizes XLA compiles across runs.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_lesionvae"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+SCALE = os.environ.get("BENCH_SCALE", "full")  # full | small
+BASELINE_TARGET_S = 60.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def setup_cohort(root: Path):
+    from lesionvae_tpu.core.config import load_config
+    from lesionvae_tpu.io.synth import generate_cohort, tiny_config
+
+    if SCALE == "small":
+        cfg = tiny_config(n_per_group=2)
+        n_sl, vol = 20, (24, 24, 24)
+    else:
+        cfg = load_config()
+        n_sl, vol = 100, (48, 48, 48)
+
+    stamp = root / f"cohort_{SCALE}.done"
+    if not stamp.exists():
+        log(f"[setup] generating synthetic cohort ({SCALE}) under {root} ...")
+        t0 = time.perf_counter()
+        generate_cohort(root, cfg, seed=0, n_streamlines=n_sl,
+                        volume_shape=vol, with_profiles=True)
+        stamp.write_text("ok")
+        log(f"[setup] cohort generated in {time.perf_counter() - t0:.1f}s")
+    return cfg
+
+
+def fast_profile_tensors(root: Path, cfg):
+    """Read each per-subject profile CSV once; slice tensors per tract.
+
+    Equivalent to build_tensor_with_lesion_context for complete, sorted
+    synthetic CSVs, but one read per (subject, timepoint) instead of one
+    pivot per (tract, subject, timepoint)."""
+    import pandas as pd
+
+    micro = list(cfg.microstructure_features)
+    lesion = list(cfg.lesion_features)
+    tracts = list(cfg.geometry_tracts)
+    groups = cfg.subjects_by_group()
+
+    tensors = {(t, tp): ([], []) for t in tracts for tp in cfg.timepoints}
+    for g, sids in groups.items():
+        for sid in sids:
+            for tp in cfg.timepoints:
+                fp = (root / "results" / sid / f"timepoint_analysis_{sid}_{tp}"
+                      / f"comprehensive_tract_data_{sid}_{tp}.csv")
+                if not fp.exists():
+                    continue
+                df = pd.read_csv(fp)
+                for lf in lesion:
+                    if lf not in df.columns:
+                        df[lf] = (15.0 if lf == "lesion_distance" else 0.0)
+                for tract in tracts:
+                    sub = df[df["tract_id"] == tract]
+                    if sub.empty:
+                        continue
+                    n_rows = len(sub)
+                    n_sl = n_rows // 100
+                    xm = sub[micro].to_numpy(np.float32).reshape(n_sl, 100, -1)
+                    xl = sub[lesion].to_numpy(np.float32).reshape(n_sl, 100, -1)
+                    xl[:, :, 2] = np.clip(xl[:, :, 2], 0, 15) / 15.0
+                    tensors[(tract, tp)][0].append(xm)
+                    tensors[(tract, tp)][1].append(xl)
+    out = []
+    for key, (xm_list, xl_list) in tensors.items():
+        if xm_list:
+            out.append((key, np.concatenate(xm_list), np.concatenate(xl_list)))
+    return out
+
+
+def main():
+    root = Path(os.environ.get("BENCH_ROOT", "/tmp/lesionvae_bench"))
+    root.mkdir(parents=True, exist_ok=True)
+    cfg = setup_cohort(root)
+    log(f"[bench] devices: {jax.devices()}")
+
+    from lesionvae_tpu.pipeline.geometry_run import run_geometry
+    from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
+    from lesionvae_tpu.train.batched import pad_datasets, train_many_vaes
+    from lesionvae_tpu.train import data as vdata
+    from lesionvae_tpu.train.normative import (compute_normative_statistics,
+                                               compute_zscore_residuals)
+
+    out_dir = root / "bench_results"
+    t_start = time.perf_counter()
+
+    # ---- stage 1: geometry ------------------------------------------------
+    t0 = time.perf_counter()
+    geo_df = run_geometry(cfg, data_dir=root / "data",
+                          output_dir=out_dir / "geometry",
+                          max_streamlines=100)
+    t_geo = time.perf_counter() - t0
+    log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s")
+
+    # ---- stage 2: lesion SH + heme ---------------------------------------
+    t0 = time.perf_counter()
+    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
+                                 output_dir=out_dir / "lesion",
+                                 max_l=6, num_samples=2000, seed=0)
+    t_sh = time.perf_counter() - t0
+    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
+
+    # ---- stage 3: VAE fleet ----------------------------------------------
+    t0 = time.perf_counter()
+    tensor_list = fast_profile_tensors(root, cfg)
+    stats = [vdata.fit_normalization_stats(xm, xl, cfg.microstructure_features)
+             for _, xm, xl in tensor_list]
+    normed = [vdata.apply_normalization(xm, xl, st)
+              for (_, xm, xl), st in zip(tensor_list, stats)]
+    t_build = time.perf_counter() - t0
+    log(f"[bench] built {len(normed)} VAE datasets in {t_build:.2f}s")
+
+    epochs = 40 if SCALE == "full" else 5
+    Xm, Xl, n_real = pad_datasets(normed, batch_size=64)
+    models, hist = train_many_vaes(Xm, Xl, n_real, latent_dim=10,
+                                   epochs=epochs, batch_size=64, seed=42)
+    # normative pass on the first VAE (z-score engine exercised end-to-end)
+    xm0, xl0 = normed[0]
+    mean_r, std_r = compute_normative_statistics(models[0], xm0, xl0)
+    _Z, _mag = compute_zscore_residuals(models[0], xm0, xl0, mean_r, std_r)
+    t_vae = time.perf_counter() - t0
+    steps = epochs * (Xm.shape[1] // 64) * len(normed)
+    log(f"[bench] VAE fleet: {len(normed)} VAEs x {epochs} epochs "
+        f"({steps} steps) in {t_vae:.2f}s "
+        f"({steps / max(t_vae, 1e-9):.0f} steps/s aggregate)")
+
+    total = time.perf_counter() - t_start
+    log(f"[bench] TOTAL {total:.2f}s  (geo {t_geo:.1f} | sh {t_sh:.1f} | "
+        f"vae {t_vae:.1f}; target {BASELINE_TARGET_S}s)")
+
+    print(json.dumps({
+        "metric": "full_cohort_wallclock",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_TARGET_S / total, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

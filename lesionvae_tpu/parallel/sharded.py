@@ -1,0 +1,138 @@
+"""Multi-chip sharded execution paths.
+
+Strategy (TPU-first, SURVEY.md §5.7-5.8):
+- geometry / SH: embarrassingly data-parallel — shard the streamline/lesion
+  axis with NamedSharding and let jit compile one SPMD program; no manual
+  collectives needed.
+- VAE training: data-parallel batches (grad psums inserted by XLA) with
+  optional tensor-parallel sharding of the three large Dense kernels over the
+  ``model`` axis (fc_mu/fc_logv: combined_dim x latent; fc_dec:
+  (latent+lesion_out) x micro_out — the only >1 MFLOP matmuls in the model).
+
+The driver's ``dryrun_multichip`` entry exercises the FULL training step over
+a fake CPU mesh (SURVEY.md §4: xla_force_host_platform_device_count).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.elbo import elbo
+from ..models.lesion_vae import LesionConditionedVAE
+from ..ops.geometry import streamline_metrics
+from ..train.trainer import make_optimizer
+
+
+def sharded_streamline_metrics(points: np.ndarray, lengths: np.ndarray,
+                               mesh: Mesh):
+    """Geometry metrics with the streamline axis sharded over ``data``."""
+    sh = NamedSharding(mesh, P("data"))
+    pts = jax.device_put(jnp.asarray(points), sh)
+    lens = jax.device_put(jnp.asarray(lengths), sh)
+    return streamline_metrics(pts, lens)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedShardings for the VAE param tree: big Dense kernels sharded over
+    ``model`` (column-parallel), everything else replicated."""
+    tp_kernels = {"fc_mu", "fc_logv", "fc_dec"}
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        if any(n in tp_kernels for n in names):
+            if names[-1] == "kernel":
+                return P(None, "model")      # shard output features
+            if names[-1] == "bias":
+                return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)
+
+
+def build_sharded_train_step(module: LesionConditionedVAE, tx,
+                             mesh: Mesh, batch_size: int):
+    """One full DP(+TP) training step jitted over the mesh.
+
+    Inputs: params/opt_state sharded per ``param_shardings`` (TP) or
+    replicated; the batch sharded over ``data``.  XLA inserts the gradient
+    all-reduce and the TP collectives.
+    """
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch_stats, xm, xl, mask, rng, beta):
+        (xh, mu, logv), new_vars = module.apply(
+            {"params": params, "batch_stats": batch_stats}, xm, xl, rng,
+            mask, True, mutable=["batch_stats"])
+        xh = jnp.nan_to_num(xh, nan=0.0)
+        mu = jnp.nan_to_num(mu, nan=0.0)
+        logv = jnp.nan_to_num(logv, nan=0.0)
+        loss, recon, kld = elbo(xh, xm, mu, logv, beta=beta, mask=mask)
+        return loss, (recon, kld, new_vars["batch_stats"])
+
+    def step(params, batch_stats, opt_state, xm, xl, mask, rng, beta):
+        (loss, (recon, kld, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, xm, xl, mask, rng,
+                                   beta)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss, recon, kld
+
+    return jax.jit(
+        step,
+        in_shardings=(None, None, None, data_sh, data_sh, data_sh, repl, repl),
+    )
+
+
+def dryrun_train_step(n_devices: int, model_parallel: int = 2,
+                      seq_len: int = 16, micro_ch: int = 4, lesion_ch: int = 2,
+                      latent: int = 4, batch: int = 16) -> Tuple[float, float]:
+    """Build an ``n_devices`` mesh, jit the full DP+TP training step on tiny
+    shapes, run one step, and return (loss, grad-updated param delta norm).
+
+    This is the driver-facing multi-chip validation (__graft_entry__.py)."""
+    from .mesh import make_mesh
+
+    mp = model_parallel if n_devices % model_parallel == 0 else 1
+    mesh = make_mesh(n_devices, model_parallel=mp)
+
+    module = LesionConditionedVAE(seq_len=seq_len, micro_ch=micro_ch,
+                                  lesion_ch=lesion_ch, latent=latent)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    xm = jax.random.normal(k1, (batch, seq_len, micro_ch), jnp.float32)
+    xl = jax.random.normal(k2, (batch, seq_len, lesion_ch), jnp.float32)
+    mask = jnp.ones(batch, jnp.float32)
+
+    variables = module.init({"params": k3}, xm[:2], xl[:2], k3,
+                            jnp.ones(2, jnp.float32), True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    tx = make_optimizer(2e-4, 1e-3, 2.0)
+    opt_state = tx.init(params)
+
+    p_sh = param_shardings(params, mesh)
+    params = jax.device_put(params, p_sh)
+    data_sh = NamedSharding(mesh, P("data"))
+    xm = jax.device_put(xm, data_sh)
+    xl = jax.device_put(xl, data_sh)
+    mask = jax.device_put(mask, data_sh)
+
+    step = build_sharded_train_step(module, tx, mesh, batch)
+    old_fc = params["fc_dec"]["dense"]["kernel"]
+    new_params, new_stats, new_opt, loss, recon, kld = step(
+        params, batch_stats, opt_state, xm, xl, mask, k3,
+        jnp.asarray(0.1, jnp.float32))
+    delta = float(jnp.linalg.norm(
+        new_params["fc_dec"]["dense"]["kernel"] - old_fc))
+    loss = float(loss)
+    assert np.isfinite(loss), "sharded step produced non-finite loss"
+    assert delta > 0, "sharded step did not update parameters"
+    return loss, delta

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; the config API is
+# authoritative, so force CPU here (XLA_FLAGS above must be set pre-import).
+jax.config.update("jax_platforms", "cpu")
+
 # float64 available for parity-vs-oracle tests; f32 paths request their dtype
 # explicitly so TPU behavior is still exercised.
 jax.config.update("jax_enable_x64", True)

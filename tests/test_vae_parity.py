@@ -88,7 +88,10 @@ def _flat_perm(L, C):
 
 def transplant(tm: TorchVAE, seq_len=SEQ):
     """torch state_dict → flax {params, batch_stats} trees."""
-    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # .copy() matters: on the CPU backend jnp.asarray may zero-copy numpy
+    # memory that aliases torch's buffers; torch's later in-place
+    # running-stat updates would then mutate the transplanted flax arrays.
+    sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
 
     def conv(name):
         return {"conv": {"kernel": sd[f"{name}.weight"].transpose(2, 1, 0),
