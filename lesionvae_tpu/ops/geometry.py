@@ -202,6 +202,26 @@ def streamline_metrics(points: jnp.ndarray, lengths: jnp.ndarray,
     }
 
 
+STACKED_NAMES = (*METRIC_NAMES, "valid")
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def streamline_metrics_stacked(points: jnp.ndarray, lengths: jnp.ndarray,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """All metrics as ONE stacked (18, S) array (rows follow STACKED_NAMES,
+    ``valid`` as 0/1 float).  A single device→host transfer per call — small
+    per-buffer transfers are expensive on remote-attached TPUs."""
+    m = streamline_metrics(points, lengths, dtype=dtype)
+    return jnp.stack([m[k].astype(dtype) if k != "valid"
+                      else m[k].astype(dtype) for k in STACKED_NAMES])
+
+
+def unstack_metrics(stacked: np.ndarray) -> Dict[str, np.ndarray]:
+    out = {k: np.asarray(stacked[i]) for i, k in enumerate(STACKED_NAMES)}
+    out["valid"] = out["valid"] > 0.5
+    return out
+
+
 # Bundle-summary quantities and their source metric (tract_geom_proc.py:195-210)
 BUNDLE_SUMMARY = (
     ("length_mean", "length"),

@@ -173,6 +173,27 @@ def sh_fit_batch(radii: jnp.ndarray, basis: jnp.ndarray, chol_c,
             "recon": recon, "reconstruction_r": r, "c_l0": c_l0}
 
 
+@functools.partial(jax.jit, static_argnames=("max_l",))
+def sh_fit_batch_packed(radii: jnp.ndarray, basis: jnp.ndarray, chol_c,
+                        max_l: int = 6) -> jnp.ndarray:
+    """sh_fit_batch packed into ONE (B, K + 3·(L+1) + 1) array for a single
+    device→host transfer (remote-attached TPUs pay per-buffer latency).
+    Column layout: [coeffs | P_raw | P_norm | c_l0 | reconstruction_r]."""
+    out = sh_fit_batch(radii, basis, chol_c, max_l=max_l)
+    return jnp.concatenate([
+        out["coeffs"], out["P_raw"], out["P_norm"], out["c_l0"],
+        out["reconstruction_r"][:, None]], axis=1)
+
+
+def unpack_sh_fit(packed: np.ndarray, max_l: int) -> Dict[str, np.ndarray]:
+    K = (max_l + 1) ** 2
+    L1 = max_l + 1
+    i0, i1, i2, i3 = K, K + L1, K + 2 * L1, K + 3 * L1
+    return {"coeffs": packed[:, :K], "P_raw": packed[:, i0:i1],
+            "P_norm": packed[:, i1:i2], "c_l0": packed[:, i2:i3],
+            "reconstruction_r": packed[:, i3]}
+
+
 def reconstruct_surface(coeffs: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     """Radius reconstruction from coefficients (reference :213-223)."""
     return coeffs @ basis.T

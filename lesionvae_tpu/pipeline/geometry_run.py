@@ -24,13 +24,15 @@ import pandas as pd
 
 from ..core.config import Config, load_config
 from ..io.vtk import read_streamlines
-from ..ops.geometry import METRIC_NAMES, bundle_summary, streamline_metrics
+from ..ops.geometry import (METRIC_NAMES, bundle_summary,
+                            streamline_metrics_stacked, unstack_metrics)
 from ..ops.padding import pad_streamlines, round_up
 from ..utils.logging import get_logger
 
 log = get_logger("geometry")
 
-_BUCKET_MIN = 32  # smallest padded point-count bucket
+_BUCKET_MIN = 32     # smallest padded point-count bucket
+_CHUNK_S = 32768     # max batch-axis size per device call (bounds compiles)
 
 
 def _bucket_P(n: int) -> int:
@@ -50,8 +52,9 @@ def metrics_dataframe(streamlines: Sequence[np.ndarray],
                      **{k: np.zeros(0) for k in METRIC_NAMES}})]))
     pts, lens = pad_streamlines(streamlines,
                                 max_points=_bucket_P(max(len(s) for s in streamlines)))
-    out = streamline_metrics(jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    stacked = streamline_metrics_stacked(jnp.asarray(pts), jnp.asarray(lens),
+                                         dtype=dtype)
+    out = unstack_metrics(np.asarray(stacked))
     valid = out["valid"]
     df_sl = pd.DataFrame({k: out[k][valid].astype(np.float64)
                           for k in METRIC_NAMES})
@@ -91,17 +94,24 @@ def batched_bundle_metrics(bundles: List[List[np.ndarray]],
     per_bundle: Dict[int, Dict[str, List[np.ndarray]]] = {
         bi: {k: [] for k in (*METRIC_NAMES, "valid")} for bi in range(len(bundles))}
 
+    # Batch-axis sizes are powers of two capped at _CHUNK_S: large buckets
+    # stream through one compiled (CHUNK, P) program instead of compiling a
+    # fresh giant shape per cohort size.
     for P, items in sorted(buckets.items()):
-        sls = [sl for _, sl in items]
-        # Pad the batch axis to a power of two to bound recompilations.
-        S = len(sls)
-        S_pad = max(_BUCKET_MIN, 1 << (S - 1).bit_length())
-        pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S), max_points=P)
-        out = streamline_metrics(jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
-        out = {k: np.asarray(v)[:S] for k, v in out.items()}
-        for j, (bi, _) in enumerate(items):
-            for k in per_bundle[bi]:
-                per_bundle[bi][k].append(out[k][j])
+        for c0 in range(0, len(items), _CHUNK_S):
+            chunk = items[c0:c0 + _CHUNK_S]
+            sls = [sl for _, sl in chunk]
+            S = len(sls)
+            S_pad = max(_BUCKET_MIN, 1 << (S - 1).bit_length())
+            pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S),
+                                        max_points=P)
+            stacked = streamline_metrics_stacked(
+                jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
+            out = {k: v[:S]
+                   for k, v in unstack_metrics(np.asarray(stacked)).items()}
+            for j, (bi, _) in enumerate(chunk):
+                for k in per_bundle[bi]:
+                    per_bundle[bi][k].append(out[k][j])
 
     summaries = []
     for bi in range(len(bundles)):

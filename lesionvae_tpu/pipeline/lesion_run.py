@@ -28,7 +28,8 @@ from ..core.config import Config, load_config
 from ..io import nifti
 from ..ops import volume as vol
 from ..ops.padding import pad_batch
-from ..ops.sh import cached_basis, sample_radii, sh_fit_batch
+from ..ops.sh import (cached_basis, sample_radii, sh_fit_batch_packed,
+                      unpack_sh_fit)
 from ..utils.logging import get_logger
 
 log = get_logger("lesion")
@@ -132,8 +133,8 @@ def _sh_device_batch(prepared: List[_PreparedLesion], max_l: int,
     radii = sample_radii(jnp.asarray(surf), jnp.asarray(counts),
                          jnp.asarray(cens), directions)
     radii_normalized = radii * jnp.asarray(scales)[:, None]  # :392-393
-    out = sh_fit_batch(radii_normalized, basis, chol_c, max_l=max_l)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    packed = sh_fit_batch_packed(radii_normalized, basis, chol_c, max_l=max_l)
+    out = unpack_sh_fit(np.asarray(packed), max_l)  # single D2H transfer
     return [
         {k: out[k][i] for k in ("coeffs", "P_raw", "P_norm",
                                 "reconstruction_r", "c_l0")}
