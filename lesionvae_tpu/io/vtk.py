@@ -88,7 +88,15 @@ def read_vtk_polydata(path: str | Path) -> Tuple[np.ndarray, np.ndarray, np.ndar
     ragged representation; the reference's flat ``mesh.lines`` walk at
     tract_geom_proc.py:17-25 is equivalent).
     """
-    cur = _Cursor(_read_bytes(path))
+    data = _read_bytes(path)
+    # fast path: native C++ parser (falls back to the Python tokenizer)
+    from . import vtk_native
+    if vtk_native.available():
+        parsed = vtk_native.parse_polydata(data)
+        if parsed is not None:
+            return parsed
+
+    cur = _Cursor(data)
     header = cur.readline()
     if "vtk" not in header.lower():
         raise ValueError(f"{path}: not a legacy VTK file (header {header!r})")
