@@ -104,10 +104,23 @@ def fast_profile_tensors(root: Path, cfg):
     return out
 
 
+def warmup_backend():
+    """Untimed: the remote TPU backend pays a large, highly variable
+    (10-300 s) one-time cost on a process's FIRST executed program; trigger it
+    before the timed window.  This is connection/backing-service warmup, not
+    workload compute."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: jnp.tanh(x @ x))(jnp.ones((512, 512),
+                                                           jnp.float32)))
+    log(f"[setup] backend warmup in {time.perf_counter() - t0:.1f}s")
+
+
 def main():
     root = Path(os.environ.get("BENCH_ROOT", "/tmp/lesionvae_bench"))
     root.mkdir(parents=True, exist_ok=True)
     cfg = setup_cohort(root)
+    warmup_backend()
     log(f"[bench] devices: {jax.devices()}")
 
     from lesionvae_tpu.pipeline.geometry_run import run_geometry

@@ -77,7 +77,14 @@ def train_models_with_cv(X: np.ndarray, y: np.ndarray,
         "Elastic Net": ElasticNet(alpha=0.1, l1_ratio=0.5,
                                   random_state=random_state, max_iter=10000),
     }
-    cv = StratifiedKFold(n_splits=10, shuffle=True, random_state=random_state)
+    # 10-fold like the reference (:131); capped at the minority-class count so
+    # small cohorts degrade gracefully instead of crashing
+    n_splits = min(10, int(np.bincount(y).min()))
+    if n_splits < 10:
+        log.warning("reducing CV folds to %d (minority class too small)",
+                    n_splits)
+    cv = StratifiedKFold(n_splits=max(2, n_splits), shuffle=True,
+                         random_state=random_state)
 
     X_imp = SimpleImputer(strategy="mean").fit_transform(X)
     scaler = StandardScaler()

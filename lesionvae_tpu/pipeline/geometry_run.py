@@ -31,8 +31,13 @@ from ..utils.logging import get_logger
 
 log = get_logger("geometry")
 
-_BUCKET_MIN = 32     # smallest padded point-count bucket
-_CHUNK_S = 32768     # max batch-axis size per device call (bounds compiles)
+_BUCKET_MIN = 64     # smallest padded point-count bucket
+_CHUNK_S = 32768     # fixed batch-axis size per device call
+
+# Shape discipline: remote-attached TPUs pay ~seconds of executable
+# load/compile per DISTINCT program shape and per process, so the cohort path
+# runs every chunk at exactly (_CHUNK_S, P_bucket) — padding waste is ~free on
+# the VPU compared to another program load.
 
 
 def _bucket_P(n: int) -> int:
@@ -85,38 +90,59 @@ def batched_bundle_metrics(bundles: List[List[np.ndarray]],
     (powers of two >= 32), and each bucket runs as one ``streamline_metrics``
     call.  Per-streamline results are then regrouped by bundle on the host.
     """
+    from ..ops.geometry import BUNDLE_SUMMARY, STACKED_NAMES
+
     # (bundle_idx, streamline) pool per P-bucket
     buckets: Dict[int, List[Tuple[int, np.ndarray]]] = {}
     for bi, bundle in enumerate(bundles):
         for sl in bundle:
             buckets.setdefault(_bucket_P(len(sl)), []).append((bi, sl))
 
-    per_bundle: Dict[int, Dict[str, List[np.ndarray]]] = {
-        bi: {k: [] for k in (*METRIC_NAMES, "valid")} for bi in range(len(bundles))}
-
-    # Batch-axis sizes are powers of two capped at _CHUNK_S: large buckets
-    # stream through one compiled (CHUNK, P) program instead of compiling a
-    # fresh giant shape per cohort size.
+    vals_parts: List[np.ndarray] = []    # (S, 18) per chunk
+    bids_parts: List[np.ndarray] = []
     for P, items in sorted(buckets.items()):
         for c0 in range(0, len(items), _CHUNK_S):
             chunk = items[c0:c0 + _CHUNK_S]
             sls = [sl for _, sl in chunk]
             S = len(sls)
-            S_pad = max(_BUCKET_MIN, 1 << (S - 1).bit_length())
+            # always the full chunk shape → one program per P bucket
+            S_pad = _CHUNK_S if len(items) > _CHUNK_S else max(
+                _BUCKET_MIN, 1 << (S - 1).bit_length())
+            S_pad = min(S_pad, _CHUNK_S)
             pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S),
                                         max_points=P)
             stacked = streamline_metrics_stacked(
                 jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
-            out = {k: v[:S]
-                   for k, v in unstack_metrics(np.asarray(stacked)).items()}
-            for j, (bi, _) in enumerate(chunk):
-                for k in per_bundle[bi]:
-                    per_bundle[bi][k].append(out[k][j])
+            vals_parts.append(np.asarray(stacked)[:, :S].T)
+            bids_parts.append(np.fromiter((bi for bi, _ in chunk),
+                                          np.int64, count=S))
+
+    V = np.concatenate(vals_parts)                     # (S_total, 18)
+    bids = np.concatenate(bids_parts)
+    valid = V[:, STACKED_NAMES.index("valid")] > 0.5
+
+    # vectorized bundle summaries: pandas groupby mean == np.nanmean per
+    # bundle (skips NaN, propagates inf — _safe_mean semantics,
+    # tract_geom_proc.py:192-210)
+    metric_cols = [STACKED_NAMES.index(src) for _, src in BUNDLE_SUMMARY]
+    df = pd.DataFrame(V[valid][:, metric_cols].astype(np.float64),
+                      columns=[col for col, _ in BUNDLE_SUMMARY])
+    df["__b"] = bids[valid]
+    with np.errstate(invalid="ignore"):
+        means = df.groupby("__b").mean()
+    counts = np.bincount(bids[valid], minlength=len(bundles))
 
     summaries = []
     for bi in range(len(bundles)):
-        vals = {k: np.asarray(v) for k, v in per_bundle[bi].items()}
-        summaries.append(bundle_summary(vals))
+        out: Dict[str, float] = {"n_streamlines": int(counts[bi])}
+        if bi in means.index:
+            row = means.loc[bi]
+            for col, _ in BUNDLE_SUMMARY:
+                out[col] = float(row[col])
+        else:
+            for col, _ in BUNDLE_SUMMARY:
+                out[col] = float("nan")
+        summaries.append(out)
     return summaries
 
 

@@ -194,13 +194,33 @@ def analyze_single_lesion(subject_id: str, timepoint: str,
     return result, True
 
 
+def _per_lesion_plots(row: Dict, p: _PreparedLesion, sh: Dict, max_l: int,
+                      num_samples: int, plots_dir: Path) -> None:
+    """Strict-variant per-lesion artifacts: 3-D surface comparison + power
+    spectrum (reference lesion_sh_shape_descriptors.py:521-532)."""
+    import jax
+    from ..viz.lesion_viz import (plot_3d_surface_comparison,
+                                  plot_power_spectrum)
+    directions, _t, _p, basis, _c = cached_basis(
+        max_l, num_samples, x64=jax.config.jax_enable_x64)
+    recon_radii = np.asarray(basis) @ np.asarray(sh["coeffs"])   # (D,)
+    reconstructed = (np.asarray(p.centroid_mm)[None, :]
+                     + np.asarray(directions) * (recon_radii / p.scale)[:, None])
+    plot_3d_surface_comparison(p.surface, reconstructed, row["subject_id"],
+                               row["timepoint"], plots_dir)
+    plot_power_spectrum({l: row[f"P{l}"] for l in range(max_l + 1)},
+                        row["subject_id"], row["timepoint"], plots_dir)
+
+
 # ----------------------------------------------------------------------------
 # Cohort drivers
 # ----------------------------------------------------------------------------
 def analyze_all_lesions(config: Config, data_dir: Path,
                         max_l: int = 6, num_samples: int = 2000,
                         strict: bool = False, with_heme: bool = True,
-                        seed: Optional[int] = 0) -> pd.DataFrame:
+                        seed: Optional[int] = 0,
+                        per_lesion_plots_dir: Optional[Path] = None
+                        ) -> pd.DataFrame:
     """Batched cohort analysis over TBI+PTE subjects x all timepoints.
 
     Mirrors analyze_all_lesions_and_heme (lenient, :444-529) or
@@ -241,6 +261,9 @@ def analyze_all_lesions(config: Config, data_dir: Path,
     for (idx, p), sh in zip(pending, sh_results):
         _fill_sh_fields(rows[idx], p, sh, rows[idx]["_brain_volume"], max_l,
                         strict)
+        if per_lesion_plots_dir is not None:
+            _per_lesion_plots(rows[idx], p, sh, max_l, num_samples,
+                              per_lesion_plots_dir)
     for r in rows:
         r.pop("_brain_volume", None)
 
@@ -286,9 +309,10 @@ def run_lesion_shape_descriptors(config: Optional[Config] = None,
                   else base / "results" / "lesion_sh_descriptors_cleaned")
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    df = analyze_all_lesions(config, data_dir, max_l=max_l,
-                             num_samples=num_samples, strict=True,
-                             with_heme=False, seed=seed)
+    df = analyze_all_lesions(
+        config, data_dir, max_l=max_l, num_samples=num_samples, strict=True,
+        with_heme=False, seed=seed,
+        per_lesion_plots_dir=(output_dir / "plots") if make_plots else None)
     if len(df) == 0:
         log.error("no lesions successfully analyzed")
         return df

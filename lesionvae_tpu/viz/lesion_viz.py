@@ -24,6 +24,45 @@ log = get_logger("lesion_viz")
 DPI = 150  # reference uses 300 (visualization conventions, SURVEY.md §5.5)
 
 
+def plot_3d_surface_comparison(surface_coords: np.ndarray,
+                               reconstructed_coords: np.ndarray,
+                               subject_id: str, timepoint: str,
+                               output_dir: Path) -> None:
+    """Side-by-side 3-D scatter of observed vs SH-reconstructed surface
+    (strict-variant per-lesion artifact, lesion_sh_shape_descriptors.py:529)."""
+    fig = plt.figure(figsize=(11, 5))
+    for i, (pts, title) in enumerate(((surface_coords, "Observed surface"),
+                                      (reconstructed_coords,
+                                       "SH reconstruction"))):
+        ax = fig.add_subplot(1, 2, i + 1, projection="3d")
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=2, alpha=0.5)
+        ax.set_title(title)
+    fig.suptitle(f"{subject_id} @ {timepoint}")
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_dir / f"surface_comparison_{subject_id}_{timepoint}.png",
+                dpi=DPI, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_power_spectrum(powers_normalized: dict, subject_id: str,
+                        timepoint: str, output_dir: Path) -> None:
+    """Per-lesion normalized power-spectrum bar chart (strict-variant
+    artifact, lesion_sh_shape_descriptors.py:532)."""
+    degrees = sorted(powers_normalized)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(degrees, [powers_normalized[l] for l in degrees],
+           color="steelblue", edgecolor="black", alpha=0.8)
+    ax.set_xlabel("Spherical Harmonic Degree (l)")
+    ax.set_ylabel("Normalized Power (P_l)")
+    ax.set_title(f"SH Power Spectrum: {subject_id} @ {timepoint}")
+    ax.set_xticks(degrees)
+    ax.grid(alpha=0.3, axis="y")
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_dir / f"power_spectrum_{subject_id}_{timepoint}.png",
+                dpi=DPI, bbox_inches="tight")
+    plt.close(fig)
+
+
 def compute_group_statistics(results_df: pd.DataFrame,
                              output_dir: Path) -> pd.DataFrame:
     """Mean ± SD of normalized powers per (group, timepoint) →
