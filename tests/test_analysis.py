@@ -86,7 +86,8 @@ def test_classification_matches_plain_sklearn(tmp_path):
     from sklearn.utils.class_weight import compute_class_weight
 
     csv = tmp_path / "geom.csv"
-    df, feature_cols = _synth_geometry_csv(csv, seed=5)
+    # >=10 per class so the adaptive fold cap stays at the reference's 10
+    df, feature_cols = _synth_geometry_csv(csv, seed=5, n_tbi=12, n_pte=10)
     data = clf.load_and_prepare_data(csv)
     fcols = clf.get_feature_columns(data)
     subj = clf.aggregate_features_per_subject(data, "9d", fcols)
