@@ -23,8 +23,7 @@ import pandas as pd
 
 from ..core.config import Config, load_config
 from ..train import data as vdata
-from ..train.normative import (compute_normative_statistics,
-                               compute_zscore_residuals)
+from ..train.normative import normative_zscores_fused
 from ..train.trainer import train_lesion_vae
 from ..utils.logging import get_logger
 
@@ -84,10 +83,8 @@ def run_vae_analysis(tract: str, latent_dim: int = 10, epochs: int = 40,
         if not sham.any():
             log.warning("no Sham streamlines at %s — skipping z-scores", tp)
             continue
-        mean_r, std_r = compute_normative_statistics(model, Xz[sham], Xl[sham],
-                                                     seed=seed)
-        Z, magnitude = compute_zscore_residuals(model, Xz, Xl, mean_r, std_r,
-                                                seed=seed + 1)
+        mean_r, std_r, Z, magnitude = normative_zscores_fused(
+            model, Xz, Xl, sham, seed=seed)
 
         mu, _, _ = model.encode(Xz, Xl)
         mu = np.asarray(mu)

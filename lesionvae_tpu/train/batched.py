@@ -30,19 +30,19 @@ from .trainer import TrainedVAE, make_optimizer
 log = get_logger("batched")
 
 
-def train_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
-                    latent_dim: int = 10, epochs: int = 40,
-                    batch_size: int = 64, lr: float = 2e-4,
-                    weight_decay: float = 1e-3, grad_clip: float = 2.0,
-                    seed: int = 42):
-    """Train T VAEs concurrently.
+def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
+                     latent_dim: int = 10, epochs: int = 40,
+                     batch_size: int = 64, lr: float = 2e-4,
+                     weight_decay: float = 1e-3, grad_clip: float = 2.0,
+                     seed: int = 42):
+    """Enqueue training of T VAEs concurrently; returns a fetch() callable.
 
     Args:
       Xm: (T, n_pad, L, Cm) padded microstructure tensors (pad rows zero).
       Xl: (T, n_pad, L, Cl) lesion tensors.
       n_real: (T,) real row counts per VAE.
     Returns:
-      (models, hist): list of TrainedVAE and a (T, epochs, 4) history array.
+      fetch: () -> (list of TrainedVAE, (T, epochs, 4) history array).
     """
     T, n_pad, seq_len, micro_ch = Xm.shape
     lesion_ch = Xl.shape[3]
@@ -82,35 +82,40 @@ def train_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         params, batch_stats = init_one(key)
         opt_state = tx.init(params)
 
-        def batch_step(carry, inputs):
-            params, stats, opt_state = carry
-            idx, rng, beta = inputs
-            xb_m = jnp.take(Xm_i, idx, axis=0)
-            xb_l = jnp.take(Xl_i, idx, axis=0)
-            mask = (idx < n_i).astype(jnp.float32)
-            (loss, (recon, kld, new_stats)), grads = grad_fn(
-                params, stats, xb_m, xb_l, mask, rng, beta)
-            finite = jnp.isfinite(loss)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            cand = jax.tree.map(lambda p, u: p + u, params, updates)
-            new_params = jax.tree.map(
-                lambda a, b: jnp.where(finite, b, a), params, cand)
-            new_opt_state = jax.tree.map(
-                lambda a, b: jnp.where(finite, b, a), opt_state, new_opt)
-            nv = jnp.sum(mask)
-            w = jnp.where(finite, 1.0, 0.0)
-            return ((new_params, new_stats, new_opt_state),
-                    w * jnp.stack([loss * nv, recon * nv, kld * nv, nv]))
-
         def epoch_step(carry, inputs):
             ep_key, beta = inputs
             k_perm, k_eps = jax.random.split(ep_key)
-            idx = jax.random.permutation(k_perm, n_pad).reshape(
-                n_batches, batch_size)
+            # ONE gather per epoch (torch DataLoader = permute then walk
+            # contiguously); per-batch access is a cheap dynamic slice
+            perm = jax.random.permutation(k_perm, n_pad)
+            Xm_ep = jnp.take(Xm_i, perm, axis=0)
+            Xl_ep = jnp.take(Xl_i, perm, axis=0)
+            mask_ep = (perm < n_i).astype(jnp.float32)
             rngs = jax.random.split(k_eps, n_batches)
+
+            def batch_step(carry, inputs):
+                params, stats, opt_state = carry
+                b, rng = inputs
+                start = b * batch_size
+                xb_m = jax.lax.dynamic_slice_in_dim(Xm_ep, start, batch_size)
+                xb_l = jax.lax.dynamic_slice_in_dim(Xl_ep, start, batch_size)
+                mask = jax.lax.dynamic_slice_in_dim(mask_ep, start, batch_size)
+                (loss, (recon, kld, new_stats)), grads = grad_fn(
+                    params, stats, xb_m, xb_l, mask, rng, beta)
+                finite = jnp.isfinite(loss)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                cand = jax.tree.map(lambda p, u: p + u, params, updates)
+                new_params = jax.tree.map(
+                    lambda a, c: jnp.where(finite, c, a), params, cand)
+                new_opt_state = jax.tree.map(
+                    lambda a, c: jnp.where(finite, c, a), opt_state, new_opt)
+                nv = jnp.sum(mask)
+                w = jnp.where(finite, 1.0, 0.0)
+                return ((new_params, new_stats, new_opt_state),
+                        w * jnp.stack([loss * nv, recon * nv, kld * nv, nv]))
+
             carry, stats = jax.lax.scan(
-                batch_step, carry,
-                (idx, rngs, jnp.full(n_batches, beta, jnp.float32)))
+                batch_step, carry, (jnp.arange(n_batches), rngs))
             sums = jnp.sum(stats, axis=0)
             avg = jnp.where(sums[3] > 0, sums[:3] / sums[3], jnp.nan)
             return carry, jnp.concatenate([avg, beta[None]])
@@ -126,18 +131,28 @@ def train_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
     Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
     n_j = jnp.asarray(n_real, jnp.int32)
 
+    # async: the jit call enqueues the whole fleet program and returns device
+    # futures — callers can overlap host work before fetching
     params_T, stats_T, hist_T = jax.jit(jax.vmap(train_one))(
         Xm_j, Xl_j, n_j, keys)
-    hist_T = np.asarray(hist_T)
 
-    models = []
-    for i in range(T):
-        p_i = jax.tree.map(lambda a, i=i: a[i], params_T)
-        s_i = jax.tree.map(lambda a, i=i: a[i], stats_T)
-        models.append(TrainedVAE(module, p_i, s_i))
-    log.info("trained %d VAEs concurrently (%d epochs, %d batches/epoch)",
-             T, epochs, n_batches)
-    return models, hist_T
+    def fetch():
+        hist = np.asarray(hist_T)
+        models = []
+        for i in range(T):
+            p_i = jax.tree.map(lambda a, i=i: a[i], params_T)
+            s_i = jax.tree.map(lambda a, i=i: a[i], stats_T)
+            models.append(TrainedVAE(module, p_i, s_i))
+        log.info("trained %d VAEs concurrently (%d epochs, %d batches/epoch)",
+                 T, epochs, n_batches)
+        return models, hist
+
+    return fetch
+
+
+def train_many_vaes(Xm, Xl, n_real, **kwargs):
+    """Synchronous wrapper over launch_many_vaes."""
+    return launch_many_vaes(Xm, Xl, n_real, **kwargs)()
 
 
 def pad_datasets(tensors, batch_size: int = 64

@@ -133,41 +133,45 @@ def train_lesion_vae(X_micro: np.ndarray, X_lesion: np.ndarray,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def batch_step(carry, inputs):
-        params, batch_stats, opt_state = carry
-        idx, rng, beta = inputs
-        xb_m = jnp.take(Xm, idx, axis=0)
-        xb_l = jnp.take(Xl, idx, axis=0)
-        mask = (idx < n).astype(jnp.float32)
-        (loss, (recon, kld, new_stats)), grads = grad_fn(
-            params, batch_stats, xb_m, xb_l, mask, rng, beta)
-
-        finite = jnp.isfinite(loss)
-
-        def do_update(_):
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt
-
-        new_params, new_opt_state = jax.lax.cond(
-            finite, do_update, lambda _: (params, opt_state), operand=None)
-        # BN running stats always advance (forward ran before the check)
-        n_valid = jnp.sum(mask)
-        stats_out = jnp.where(finite, 1.0, 0.0) * jnp.stack(
-            [loss * n_valid, recon * n_valid, kld * n_valid, n_valid])
-        return (new_params, new_stats, new_opt_state), stats_out
-
     def epoch_step(carry, inputs):
         ep_key, beta = inputs
         k_perm, k_eps = jax.random.split(ep_key)
-        perm = jax.random.permutation(k_perm, n)
-        # dummy rows stay at the tail → exactly one partial batch per epoch,
-        # like torch DataLoader(drop_last=False)
-        idx = jnp.concatenate([perm, jnp.arange(n, n_pad)]).reshape(
-            n_batches, batch_size)
+        # permute real rows; dummy rows stay at the tail → exactly one
+        # partial batch per epoch, like torch DataLoader(drop_last=False).
+        # ONE gather per epoch, contiguous slices per batch.
+        perm = jnp.concatenate([jax.random.permutation(k_perm, n),
+                                jnp.arange(n, n_pad)])
+        Xm_ep = jnp.take(Xm, perm, axis=0)
+        Xl_ep = jnp.take(Xl, perm, axis=0)
+        mask_ep = (perm < n).astype(jnp.float32)
         rngs = jax.random.split(k_eps, n_batches)
-        carry, stats = jax.lax.scan(
-            batch_step, carry,
-            (idx, rngs, jnp.full(n_batches, beta, jnp.float32)))
+
+        def batch_step(carry, inputs):
+            params, batch_stats, opt_state = carry
+            b, rng = inputs
+            start = b * batch_size
+            xb_m = jax.lax.dynamic_slice_in_dim(Xm_ep, start, batch_size)
+            xb_l = jax.lax.dynamic_slice_in_dim(Xl_ep, start, batch_size)
+            mask = jax.lax.dynamic_slice_in_dim(mask_ep, start, batch_size)
+            (loss, (recon, kld, new_stats)), grads = grad_fn(
+                params, batch_stats, xb_m, xb_l, mask, rng, beta)
+
+            finite = jnp.isfinite(loss)
+
+            def do_update(_):
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_opt
+
+            new_params, new_opt_state = jax.lax.cond(
+                finite, do_update, lambda _: (params, opt_state), operand=None)
+            # BN running stats always advance (forward ran before the check)
+            n_valid = jnp.sum(mask)
+            stats_out = jnp.where(finite, 1.0, 0.0) * jnp.stack(
+                [loss * n_valid, recon * n_valid, kld * n_valid, n_valid])
+            return (new_params, new_stats, new_opt_state), stats_out
+
+        carry, stats = jax.lax.scan(batch_step, carry,
+                                    (jnp.arange(n_batches), rngs))
         sums = jnp.sum(stats, axis=0)       # Σ loss·n, Σ recon·n, Σ kld·n, Σ n
         seen = sums[3]
         avg = jnp.where(seen > 0, sums[:3] / seen, jnp.nan)
