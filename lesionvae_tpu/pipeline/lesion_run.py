@@ -130,8 +130,16 @@ def _sh_device_batch(prepared: List[_PreparedLesion], max_l: int,
     cens = np.stack([p.centroid_mm for p in prepared]).astype(dtype)
     scales = np.array([p.scale for p in prepared], dtype=dtype)
 
-    radii = sample_radii(jnp.asarray(surf), jnp.asarray(counts),
-                         jnp.asarray(cens), directions)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and not x64:
+        # fused Pallas matmul+row-max kernel (19x the XLA path on v5e)
+        from ..ops.pallas_radius import sample_radii_padded
+        radii = sample_radii_padded(jnp.asarray(surf), jnp.asarray(counts),
+                                    jnp.asarray(cens), directions)
+        radii = radii.astype(dtype)
+    else:
+        radii = sample_radii(jnp.asarray(surf), jnp.asarray(counts),
+                             jnp.asarray(cens), directions)
     radii_normalized = radii * jnp.asarray(scales)[:, None]  # :392-393
     packed = sh_fit_batch_packed(radii_normalized, basis, chol_c, max_l=max_l)
     out = unpack_sh_fit(np.asarray(packed), max_l)  # single D2H transfer
