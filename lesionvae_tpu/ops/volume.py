@@ -56,17 +56,48 @@ def normalize_to_unit_volume(mask_data: np.ndarray,
     return lesion_volume ** (-1.0 / 3.0), lesion_volume
 
 
+def marching_cubes_vertices(mask_data: np.ndarray,
+                            level: float = 0.5) -> np.ndarray:
+    """Isosurface vertex set of a binary volume — the exact vertex set
+    ``skimage.measure.marching_cubes(mask, level=0.5)`` produces for binary
+    input (the reference's primary surface path, :119-128): every axis edge
+    whose endpoints straddle the level contributes one vertex, linearly
+    interpolated (the midpoint for a 0/1 mask).  Faces/normals are not needed
+    downstream (the reference discards them), so no case tables are required.
+    Fully vectorized numpy."""
+    m = mask_data > level
+    verts = []
+    for axis in range(3):
+        a = m.take(range(0, m.shape[axis] - 1), axis=axis)
+        b = m.take(range(1, m.shape[axis]), axis=axis)
+        cross = a != b
+        idx = np.argwhere(cross).astype(np.float64)
+        idx[:, axis] += 0.5
+        verts.append(idx)
+    if not verts:
+        return np.empty((0, 3))
+    return np.concatenate(verts, axis=0)
+
+
 def extract_surface_points(mask_data: np.ndarray, affine: np.ndarray,
                            num_points: int = 2000,
-                           rng: Optional[np.random.Generator] = None
-                           ) -> np.ndarray:
-    """Boundary voxels (mask minus its erosion) in world mm, subsampled to at
-    most ``num_points``.  Unlike the reference (unseeded np.random.choice,
-    :125,141) the subsampling RNG is injectable for reproducibility."""
+                           rng: Optional[np.random.Generator] = None,
+                           method: str = "auto") -> np.ndarray:
+    """Surface points in world mm, subsampled to at most ``num_points``.
+
+    ``method``: "marching" (isosurface edge vertices — the reference's
+    primary path), "erosion" (boundary voxels, the reference's fallback,
+    :132-144), or "auto" (marching when the lesion has >100 voxels, matching
+    the reference's gate at :119).  Unlike the reference (unseeded
+    np.random.choice, :125,141) the subsampling RNG is injectable."""
     binary_mask = mask_data > 0.5
-    eroded = ndimage.binary_erosion(binary_mask, iterations=1)
-    surface = binary_mask & ~eroded
-    surface_voxels = np.argwhere(surface)
+    if method == "auto":
+        method = "marching" if binary_mask.sum() > 100 else "erosion"
+    if method == "marching":
+        surface_voxels = marching_cubes_vertices(mask_data)
+    else:
+        eroded = ndimage.binary_erosion(binary_mask, iterations=1)
+        surface_voxels = np.argwhere(binary_mask & ~eroded)
     surface_coords = nifti.apply_affine(affine, surface_voxels)
     if len(surface_coords) > num_points:
         if rng is None:
