@@ -43,28 +43,68 @@ def _masked_gradient(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     x: (..., P, 3); n: (...,) valid lengths.  Matches numpy exactly:
     one-sided differences at rows 0 and n-1, central elsewhere
     (tract_geom_proc.py:48-51 uses np.gradient twice for v and a).
+
+    Implemented with static shifts + elementwise selects — no gather ops,
+    which lower poorly on TPU.
     """
     P = x.shape[-2]
     i = jnp.arange(P)
-    n_ = n[..., None]                       # (..., 1)
-    hi = jnp.minimum(i + 1, n_ - 1)         # (..., P)
-    hi = jnp.clip(hi, 0, P - 1)
-    lo = jnp.broadcast_to(jnp.maximum(i - 1, 0), hi.shape)
-    denom = jnp.maximum(hi - lo, 1).astype(x.dtype)
-    x_hi = jnp.take_along_axis(x, hi[..., None].astype(jnp.int32), axis=-2)
-    x_lo = jnp.take_along_axis(x, lo[..., None].astype(jnp.int32), axis=-2)
-    return (x_hi - x_lo) / denom[..., None]
+    n_ = n[..., None]                                  # (..., 1)
+    # static shifts (edge rows replicate — corrected by the selects below)
+    x_next = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    x_prev = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    central = (x_next - x_prev) * jnp.asarray(0.5, x.dtype)
+    fwd = x_next - x                                    # one-sided at i=0
+    bwd = x - x_prev                                    # one-sided at i=n-1
+    is_first = (i == 0)
+    is_last = (i[None] == (n_ - 1)) | (i[None] >= P - 1)
+    sel_last = jnp.where(is_last[..., None], bwd,
+                         central)
+    out = jnp.where(jnp.broadcast_to(is_first[:, None], sel_last.shape),
+                    fwd, sel_last)
+    return out
+
+
+def _eigh3_trig(C: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (trigonometric) eigenvalues of symmetric 3x3 matrices,
+    descending.  ~20 elementwise ops — far faster than XLA's iterative Eigh
+    on TPU; accuracy ~sqrt(eps)·‖C‖ for near-degenerate spectra."""
+    a00, a11, a22 = C[..., 0, 0], C[..., 1, 1], C[..., 2, 2]
+    a01, a02, a12 = C[..., 0, 1], C[..., 0, 2], C[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 ** 2 + a02 ** 2 + a12 ** 2
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.where(p > 0, p, 1.0)
+    b00, b11, b22 = (a00 - q) / safe_p, (a11 - q) / safe_p, (a22 - q) / safe_p
+    b01, b02, b12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+    detB = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    eigs = jnp.stack([e1, e2, e3], axis=-1)
+    return jnp.where((p2 <= 0)[..., None], q[..., None] * jnp.ones(3, C.dtype),
+                     eigs)
 
 
 def _eigh3_descending(C: jnp.ndarray) -> jnp.ndarray:
     """Eigenvalues of batched symmetric 3x3 matrices, sorted descending
-    (λ1 ≥ λ2 ≥ λ3).  One batched XLA Eigh call for the whole bundle — the
-    reference instead calls np.linalg.eigh once per curve
-    (tract_geom_proc.py:119-124).  A closed-form trigonometric solver was
-    rejected: its ~sqrt(eps) error on near-degenerate spectra flips the
-    reference's 1e-12 inf-threshold (tract_geom_proc.py:126-136)."""
-    eigs = jnp.linalg.eigvalsh(C)          # ascending
-    return eigs[..., ::-1]
+    (λ1 ≥ λ2 ≥ λ3).  The reference calls np.linalg.eigh per curve
+    (tract_geom_proc.py:119-124).
+
+    float64 (CPU parity path): one batched XLA Eigh call — LAPACK-grade
+    accuracy so the reference's 1e-12 inf-threshold
+    (tract_geom_proc.py:126-136) resolves identically to numpy.
+    float32 (TPU path): closed-form trig solver — in f32 the iterative Eigh
+    is no more accurate at the 1e-12 threshold (f32 eigen-noise is ~1e-6·λ1
+    for either method) and is ~100x slower on TPU."""
+    if C.dtype == jnp.float64:
+        return jnp.linalg.eigvalsh(C)[..., ::-1]
+    return _eigh3_trig(C)
 
 
 def _msum(x, mask, axis):
