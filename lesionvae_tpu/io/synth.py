@@ -47,13 +47,27 @@ def make_streamline(rng: np.random.Generator, n_points: int,
 
 
 def make_bundle(rng: np.random.Generator, n_streamlines: int,
-                min_pts: int = 20, max_pts: int = 60) -> List[np.ndarray]:
+                min_pts: int = 20, max_pts: int = 60,
+                scale: float = 10.0) -> List[np.ndarray]:
+    """Vectorized bundle generator: all streamlines computed as one padded
+    (S, P, 3) block, then trimmed to their ragged lengths."""
     center = rng.uniform(-20, 20, size=3)
-    return [
-        make_streamline(rng, int(rng.integers(min_pts, max_pts + 1)),
-                        center + rng.normal(scale=1.0, size=3))
-        for _ in range(n_streamlines)
-    ]
+    S = n_streamlines
+    n_pts = rng.integers(min_pts, max_pts + 1, size=S)
+    P = int(n_pts.max()) if S else min_pts
+    centers = center[None, :] + rng.normal(scale=1.0, size=(S, 3))
+    dirs = rng.normal(size=(S, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # per-streamline t grid over its own length
+    t = (np.arange(P)[None, :] / np.maximum(n_pts - 1, 1)[:, None])  # (S, P)
+    curves = centers[:, None, :] + scale * t[..., None] * dirs[:, None, :]
+    for k in range(1, 4):
+        amp = rng.normal(scale=scale * 0.08 / k, size=(S, 3))
+        phase = rng.uniform(0, 2 * np.pi, size=(S, 3))
+        curves += amp[:, None, :] * np.sin(
+            2 * np.pi * k * t[..., None] + phase[:, None, :])
+    curves += rng.normal(scale=0.01, size=curves.shape)
+    return [curves[i, :n_pts[i]].astype(np.float64) for i in range(S)]
 
 
 def make_lesion_volume(rng: np.random.Generator, shape=(32, 32, 32),
