@@ -30,25 +30,18 @@ from .trainer import TrainedVAE, make_optimizer
 log = get_logger("batched")
 
 
-def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
-                     latent_dim: int = 10, epochs: int = 40,
-                     batch_size: int = 64, lr: float = 2e-4,
-                     weight_decay: float = 1e-3, grad_clip: float = 2.0,
-                     seed: int = 42):
-    """Enqueue training of T VAEs concurrently; returns a fetch() callable.
+import functools
 
-    Args:
-      Xm: (T, n_pad, L, Cm) padded microstructure tensors (pad rows zero).
-      Xl: (T, n_pad, L, Cl) lesion tensors.
-      n_real: (T,) real row counts per VAE.
-    Returns:
-      fetch: () -> (list of TrainedVAE, (T, epochs, 4) history array).
-    """
-    T, n_pad, seq_len, micro_ch = Xm.shape
-    lesion_ch = Xl.shape[3]
+
+@functools.lru_cache(maxsize=8)
+def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
+                   latent_dim: int, epochs: int, batch_size: int, lr: float,
+                   weight_decay: float, grad_clip: float):
+    """Build (once per static config) the jitted vmapped training program.
+
+    Re-tracing this program costs tens of seconds of client time; caching the
+    jitted callable makes repeated launches retrace-free."""
     n_batches = max(1, n_pad // batch_size)
-    assert n_batches * batch_size == n_pad, \
-        "pad the row axis to a multiple of batch_size"
 
     module = LesionConditionedVAE(seq_len=seq_len, micro_ch=micro_ch,
                                   lesion_ch=lesion_ch, latent=latent_dim)
@@ -126,6 +119,31 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
             epoch_step, (params, batch_stats, opt_state), (ep_keys, betas))
         return params, batch_stats, hist
 
+    return jax.jit(jax.vmap(train_one)), module, n_batches
+
+
+def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
+                     latent_dim: int = 10, epochs: int = 40,
+                     batch_size: int = 64, lr: float = 2e-4,
+                     weight_decay: float = 1e-3, grad_clip: float = 2.0,
+                     seed: int = 42):
+    """Enqueue training of T VAEs concurrently; returns a fetch() callable.
+
+    Args:
+      Xm: (T, n_pad, L, Cm) padded microstructure tensors (pad rows zero).
+      Xl: (T, n_pad, L, Cl) lesion tensors.
+      n_real: (T,) real row counts per VAE.
+    Returns:
+      fetch: () -> (list of TrainedVAE, (T, epochs, 4) history array).
+    """
+    T, n_pad, seq_len, micro_ch = Xm.shape
+    lesion_ch = Xl.shape[3]
+    assert (n_pad // batch_size) * batch_size == n_pad, \
+        "pad the row axis to a multiple of batch_size"
+    program, module, n_batches = _fleet_program(
+        n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
+        lr, weight_decay, grad_clip)
+
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
     Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
     Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
@@ -133,8 +151,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
 
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
-    params_T, stats_T, hist_T = jax.jit(jax.vmap(train_one))(
-        Xm_j, Xl_j, n_j, keys)
+    params_T, stats_T, hist_T = program(Xm_j, Xl_j, n_j, keys)
 
     def fetch():
         hist = np.asarray(hist_T)
