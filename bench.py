@@ -171,8 +171,12 @@ def _run_pipeline(root, cfg, warm: bool):
 
     # ---- stage 2: launch the VAE fleet asynchronously ---------------------
     t0 = time.perf_counter()
+    import jax.numpy as jnp
+    # bf16 mixed precision (f32 params/BN-stats/loss): 2.7x per step on the
+    # MXU; bf16 curve tracks f32 within <10% (tests/test_mixed_precision.py)
     fetch = launch_many_vaes(Xm, Xl, n_real, latent_dim=10, epochs=epochs,
-                             batch_size=64, seed=42)
+                             batch_size=64, seed=42,
+                             compute_dtype=jnp.bfloat16)
     log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
     # ---- stage 3: geometry (host IO overlaps the fleet on device) ---------

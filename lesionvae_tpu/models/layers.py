@@ -38,7 +38,12 @@ def torch_linear_init(fan_in: int):
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over (N, L) per channel with a validity mask on N."""
+    """BatchNorm over (N, L) per channel with a validity mask on N.
+
+    Statistics and normalization always run in float32 regardless of the
+    compute dtype (standard TPU mixed-precision recipe); the output is cast
+    back to the input dtype.
+    """
 
     features: int
     momentum: float = 0.1
@@ -48,6 +53,9 @@ class MaskedBatchNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  train: bool) -> jnp.ndarray:
         # x: (N, L, C); mask: (N,) in {0, 1} or None
+        out_dtype = x.dtype
+        stat_dtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+        x32 = x.astype(stat_dtype)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(self.features, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -62,14 +70,15 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             if mask is None:
-                cnt = jnp.asarray(x.shape[0] * x.shape[1], x.dtype)
-                mean = jnp.mean(x, axis=(0, 1))
-                var = jnp.mean((x - mean) ** 2, axis=(0, 1))
+                cnt = jnp.asarray(x.shape[0] * x.shape[1], stat_dtype)
+                mean = jnp.mean(x32, axis=(0, 1))
+                var = jnp.mean((x32 - mean) ** 2, axis=(0, 1))
             else:
-                m = mask[:, None, None].astype(x.dtype)
-                cnt = jnp.maximum(jnp.sum(mask) * x.shape[1], 1.0)
-                mean = jnp.sum(x * m, axis=(0, 1)) / cnt
-                var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / cnt
+                m = mask[:, None, None].astype(stat_dtype)
+                cnt = jnp.maximum(
+                    jnp.sum(mask.astype(stat_dtype)) * x.shape[1], 1.0)
+                mean = jnp.sum(x32 * m, axis=(0, 1)) / cnt
+                var = jnp.sum(((x32 - mean) ** 2) * m, axis=(0, 1)) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
@@ -79,8 +88,8 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) / jnp.sqrt(var + self.eps)
-        return y * gamma + beta
+        y = (x32 - mean) / jnp.sqrt(var + self.eps)
+        return (y * gamma + beta).astype(out_dtype)
 
 
 def avg_pool_half(x: jnp.ndarray) -> jnp.ndarray:
@@ -112,11 +121,15 @@ def upsample2_linear(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Conv1d(nn.Module):
-    """Conv1d(kernel=5, padding=2) torch-equivalent, channel-last."""
+    """Conv1d(kernel=5, padding=2) torch-equivalent, channel-last.
+
+    ``dtype``: computation dtype (None = promote from inputs/params); params
+    stay float32 under mixed precision."""
 
     features: int
     kernel: int = 5
     padding: int = 2
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +137,7 @@ class Conv1d(nn.Module):
         return nn.Conv(self.features, kernel_size=(self.kernel,),
                        padding=[(self.padding, self.padding)],
                        use_bias=True, kernel_init=w_init, bias_init=b_init,
-                       name="conv")(x)
+                       dtype=self.dtype, name="conv")(x)
 
 
 class ConvTranspose1d(nn.Module):
@@ -139,6 +152,7 @@ class ConvTranspose1d(nn.Module):
     features: int
     kernel: int = 5
     padding: int = 2
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -146,16 +160,18 @@ class ConvTranspose1d(nn.Module):
         eff = self.kernel - 1 - self.padding
         return nn.Conv(self.features, kernel_size=(self.kernel,),
                        padding=[(eff, eff)], use_bias=True,
-                       kernel_init=w_init, bias_init=b_init, name="conv")(x)
+                       kernel_init=w_init, bias_init=b_init,
+                       dtype=self.dtype, name="conv")(x)
 
 
 class Dense(nn.Module):
     """Linear layer with torch default init."""
 
     features: int
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w_init, b_init = torch_linear_init(x.shape[-1])
         return nn.Dense(self.features, kernel_init=w_init, bias_init=b_init,
-                        name="dense")(x)
+                        dtype=self.dtype, name="dense")(x)

@@ -36,7 +36,8 @@ import functools
 @functools.lru_cache(maxsize=8)
 def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                    latent_dim: int, epochs: int, batch_size: int, lr: float,
-                   weight_decay: float, grad_clip: float):
+                   weight_decay: float, grad_clip: float,
+                   compute_dtype=None):
     """Build (once per static config) the jitted vmapped training program.
 
     Re-tracing this program costs tens of seconds of client time; caching the
@@ -44,7 +45,8 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
     n_batches = max(1, n_pad // batch_size)
 
     module = LesionConditionedVAE(seq_len=seq_len, micro_ch=micro_ch,
-                                  lesion_ch=lesion_ch, latent=latent_dim)
+                                  lesion_ch=lesion_ch, latent=latent_dim,
+                                  compute_dtype=compute_dtype)
     tx = make_optimizer(lr, weight_decay, grad_clip)
 
     betas = jnp.asarray([
@@ -63,9 +65,10 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         (xh, mu, logv), new_vars = module.apply(
             {"params": p, "batch_stats": stats}, xb_m, xb_l, rng, mask, True,
             mutable=["batch_stats"])
-        xh = jnp.nan_to_num(xh, nan=0.0)
-        mu = jnp.nan_to_num(mu, nan=0.0)
-        logv = jnp.nan_to_num(logv, nan=0.0)
+        # loss always in float32 (mixed-precision recipe)
+        xh = jnp.nan_to_num(xh.astype(jnp.float32), nan=0.0)
+        mu = jnp.nan_to_num(mu.astype(jnp.float32), nan=0.0)
+        logv = jnp.nan_to_num(logv.astype(jnp.float32), nan=0.0)
         loss, recon, kld = elbo(xh, xb_m, mu, logv, beta=beta, mask=mask)
         return loss, (recon, kld, new_vars["batch_stats"])
 
@@ -126,7 +129,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      latent_dim: int = 10, epochs: int = 40,
                      batch_size: int = 64, lr: float = 2e-4,
                      weight_decay: float = 1e-3, grad_clip: float = 2.0,
-                     seed: int = 42):
+                     seed: int = 42, compute_dtype=None):
     """Enqueue training of T VAEs concurrently; returns a fetch() callable.
 
     Args:
@@ -142,7 +145,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         "pad the row axis to a multiple of batch_size"
     program, module, n_batches = _fleet_program(
         n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
-        lr, weight_decay, grad_clip)
+        lr, weight_decay, grad_clip, compute_dtype)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
     Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
