@@ -81,11 +81,10 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         def epoch_step(carry, inputs):
             ep_key, beta = inputs
             k_perm, k_eps = jax.random.split(ep_key)
-            # ONE gather per epoch (torch DataLoader = permute then walk
-            # contiguously); per-batch access is a cheap dynamic slice
+            # permute INDICES only; each batch gathers its rows directly —
+            # one data pass per epoch instead of materializing a shuffled
+            # copy (the shuffle traffic, not the math, bounds fleet speed)
             perm = jax.random.permutation(k_perm, n_pad)
-            Xm_ep = jnp.take(Xm_i, perm, axis=0)
-            Xl_ep = jnp.take(Xl_i, perm, axis=0)
             mask_ep = (perm < n_i).astype(jnp.float32)
             rngs = jax.random.split(k_eps, n_batches)
 
@@ -93,8 +92,9 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                 params, stats, opt_state = carry
                 b, rng = inputs
                 start = b * batch_size
-                xb_m = jax.lax.dynamic_slice_in_dim(Xm_ep, start, batch_size)
-                xb_l = jax.lax.dynamic_slice_in_dim(Xl_ep, start, batch_size)
+                idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+                xb_m = jnp.take(Xm_i, idx, axis=0)
+                xb_l = jnp.take(Xl_i, idx, axis=0)
                 mask = jax.lax.dynamic_slice_in_dim(mask_ep, start, batch_size)
                 (loss, (recon, kld, new_stats)), grads = grad_fn(
                     params, stats, xb_m, xb_l, mask, rng, beta)
@@ -148,8 +148,11 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         lr, weight_decay, grad_clip, compute_dtype)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
-    Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
-    Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
+    # under mixed precision the dataset itself is stored in the compute dtype
+    # (halves HBM shuffle/gather traffic; inputs are z-scored O(1) values)
+    store_dtype = compute_dtype or jnp.float32
+    Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0).astype(store_dtype)
+    Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0).astype(store_dtype)
     n_j = jnp.asarray(n_real, jnp.int32)
 
     # async: the jit call enqueues the whole fleet program and returns device
