@@ -17,7 +17,7 @@ geometry CSV; behavior matches src/analysis/classification.py:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd

@@ -13,7 +13,7 @@ behavior matches src/analysis/correlation.py:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd

@@ -26,7 +26,7 @@ from ..core.config import Config, load_config
 from ..io.vtk import read_streamlines
 from ..ops.geometry import (METRIC_NAMES, bundle_summary,
                             streamline_metrics_stacked, unstack_metrics)
-from ..ops.padding import pad_streamlines, round_up
+from ..ops.padding import pad_streamlines
 from ..utils.logging import get_logger
 
 log = get_logger("geometry")

@@ -17,9 +17,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
-import jax
 import numpy as np
-import pandas as pd
 
 from ..core.config import Config, load_config
 from ..train import data as vdata

@@ -15,7 +15,7 @@ statistics and the ELBO remain mask-exact, only batch composition differs.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Exact-semantics notes (SURVEY.md §7 hard part #2):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ subject-mean latents.  Same artifact content, rewritten.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 import matplotlib
