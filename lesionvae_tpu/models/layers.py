@@ -48,6 +48,9 @@ class MaskedBatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    # mesh axis to psum batch statistics over (explicit shard_map data
+    # parallelism; None under single-device or GSPMD execution)
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
@@ -70,15 +73,21 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             if mask is None:
-                cnt = jnp.asarray(x.shape[0] * x.shape[1], stat_dtype)
-                mean = jnp.mean(x32, axis=(0, 1))
-                var = jnp.mean((x32 - mean) ** 2, axis=(0, 1))
+                m = jnp.ones((x.shape[0], 1, 1), stat_dtype)
             else:
                 m = mask[:, None, None].astype(stat_dtype)
-                cnt = jnp.maximum(
-                    jnp.sum(mask.astype(stat_dtype)) * x.shape[1], 1.0)
-                mean = jnp.sum(x32 * m, axis=(0, 1)) / cnt
-                var = jnp.sum(((x32 - mean) ** 2) * m, axis=(0, 1)) / cnt
+            cnt = jnp.sum(m) * x.shape[1]
+            s1 = jnp.sum(x32 * m, axis=(0, 1))
+            if self.axis_name is not None:
+                # cross-shard batch statistics: identical to single-device
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s1 / cnt
+            s2 = jnp.sum(((x32 - mean) ** 2) * m, axis=(0, 1))
+            if self.axis_name is not None:
+                s2 = jax.lax.psum(s2, self.axis_name)
+            var = s2 / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value

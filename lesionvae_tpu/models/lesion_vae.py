@@ -37,33 +37,37 @@ class LesionConditionedVAE(nn.Module):
     # BatchNorm statistics stay float32 — pass jnp.bfloat16 for the TPU
     # mixed-precision fast path (~2.7x per training step)
     compute_dtype: Optional[type] = None
+    # mesh axis for cross-shard BatchNorm statistics under explicit
+    # shard_map data parallelism (parallel/sharded.py)
+    axis_name: Optional[str] = None
 
     def setup(self):
         L = self.seq_len
         dt = self.compute_dtype
+        ax = self.axis_name
         self.micro_out = 128 * (L // 8)
         self.lesion_out = 64 * (L // 4)
 
         self.micro_c1 = Conv1d(64, dtype=dt)
-        self.micro_b1 = MaskedBatchNorm(64)
+        self.micro_b1 = MaskedBatchNorm(64, axis_name=ax)
         self.micro_c2 = Conv1d(128, dtype=dt)
-        self.micro_b2 = MaskedBatchNorm(128)
+        self.micro_b2 = MaskedBatchNorm(128, axis_name=ax)
         self.micro_c3 = Conv1d(128, dtype=dt)
-        self.micro_b3 = MaskedBatchNorm(128)
+        self.micro_b3 = MaskedBatchNorm(128, axis_name=ax)
 
         self.lesion_c1 = Conv1d(32, dtype=dt)
-        self.lesion_b1 = MaskedBatchNorm(32)
+        self.lesion_b1 = MaskedBatchNorm(32, axis_name=ax)
         self.lesion_c2 = Conv1d(64, dtype=dt)
-        self.lesion_b2 = MaskedBatchNorm(64)
+        self.lesion_b2 = MaskedBatchNorm(64, axis_name=ax)
 
         self.fc_mu = Dense(self.latent, dtype=dt)
         self.fc_logv = Dense(self.latent, dtype=dt)
         self.fc_dec = Dense(self.micro_out, dtype=dt)
 
         self.dec_t1 = ConvTranspose1d(64, dtype=dt)
-        self.dec_b1 = MaskedBatchNorm(64)
+        self.dec_b1 = MaskedBatchNorm(64, axis_name=ax)
         self.dec_t2 = ConvTranspose1d(64, dtype=dt)
-        self.dec_b2 = MaskedBatchNorm(64)
+        self.dec_b2 = MaskedBatchNorm(64, axis_name=ax)
         self.dec_t3 = ConvTranspose1d(self.micro_ch, dtype=dt)
 
     # ------------------------------------------------------------------
@@ -104,9 +108,14 @@ class LesionConditionedVAE(nn.Module):
             h = interp_linear(h, self.seq_len)
         return h                                            # (N, L, micro_ch)
 
-    def __call__(self, x_micro, x_lesion, rng, mask=None, train=False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x_micro, x_lesion, rng, mask=None, train=False,
+                 eps=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         mu, logv, h_lesion = self.encode(x_micro, x_lesion, mask, train)
-        z = self.reparam(rng, mu, logv)
+        if eps is not None:
+            # explicit noise (sharded execution passes pre-drawn eps so a
+            # sharded step is bit-comparable to the single-device step)
+            z = mu + eps.astype(mu.dtype) * jnp.exp(0.5 * logv)
+        else:
+            z = self.reparam(rng, mu, logv)
         xh = self.decode(z, h_lesion, mask, train)
         return xh, mu, logv

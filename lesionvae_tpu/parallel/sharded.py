@@ -91,6 +91,62 @@ def build_sharded_train_step(module: LesionConditionedVAE, tx,
     )
 
 
+def build_shardmap_train_step(module_kwargs: dict, tx, mesh: Mesh):
+    """Explicit shard_map data-parallel training step with manual collectives.
+
+    Unlike build_sharded_train_step (GSPMD: XLA infers the collectives), this
+    spells them out: BatchNorm statistics are psum-synced inside the model
+    (MaskedBatchNorm.axis_name), the masked ELBO is computed from psum-ed
+    sums so every shard sees the global loss, and gradients are psum-reduced
+    before the optimizer.  Bit-comparable to the single-device step (same
+    reductions, same eps) — verified in tests/test_parallel.py.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    module = LesionConditionedVAE(axis_name="data", **module_kwargs)
+
+    def loss_fn(params, batch_stats, xm, xl, mask, eps, beta):
+        (xh, mu, logv), new_vars = module.apply(
+            {"params": params, "batch_stats": batch_stats}, xm, xl, None,
+            mask, True, eps=eps, mutable=["batch_stats"])
+        xh = jnp.nan_to_num(xh.astype(jnp.float32), nan=0.0)
+        mu = jnp.nan_to_num(mu.astype(jnp.float32), nan=0.0)
+        logv = jnp.nan_to_num(logv.astype(jnp.float32), nan=0.0)
+        m = mask.astype(jnp.float32)
+        # global masked means via explicit psums
+        per_elem = xm[0].size
+        sse = jax.lax.psum(jnp.sum(((xh - xm) ** 2) * m[:, None, None]),
+                           "data")
+        n_x = jax.lax.psum(jnp.sum(m) * per_elem, "data")
+        recon = sse / jnp.maximum(n_x, 1.0)
+        kl_sum = jax.lax.psum(
+            jnp.sum((1 + logv - mu ** 2 - jnp.exp(logv)) * m[:, None]), "data")
+        n_z = jax.lax.psum(jnp.sum(m) * mu.shape[1], "data")
+        kld = -0.5 * kl_sum / jnp.maximum(n_z, 1.0)
+        return recon + beta * kld, (recon, kld, new_vars["batch_stats"])
+
+    def step(params, batch_stats, opt_state, xm, xl, mask, eps, beta):
+        (loss, (recon, kld, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, xm, xl, mask, eps,
+                                   beta)
+        grads = jax.lax.psum(grads, "data")
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss, recon, kld
+
+    P_ = P  # alias for readability
+    sharded_step = shard_map(
+        step, mesh=mesh,
+        in_specs=(P_(), P_(), P_(), P_("data"), P_("data"), P_("data"),
+                  P_("data"), P_()),
+        out_specs=(P_(), P_(), P_(), P_(), P_(), P_()),
+        check_rep=False)
+    return jax.jit(sharded_step), module
+
+
 def dryrun_train_step(n_devices: int, model_parallel: int = 2,
                       seq_len: int = 16, micro_ch: int = 4, lesion_ch: int = 2,
                       latent: int = 4, batch: int = 16) -> Tuple[float, float]:

@@ -1,0 +1,97 @@
+"""Explicit shard_map DP step must match the single-device step bit-for-bit
+(same reductions, same eps) on the fake 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from lesionvae_tpu.models.elbo import elbo
+from lesionvae_tpu.models.lesion_vae import LesionConditionedVAE
+from lesionvae_tpu.parallel.mesh import make_mesh
+from lesionvae_tpu.parallel.sharded import build_shardmap_train_step
+from lesionvae_tpu.train.trainer import make_optimizer
+
+KW = dict(seq_len=16, micro_ch=4, lesion_ch=2, latent=3)
+
+
+def _setup(batch=32, seed=0):
+    module = LesionConditionedVAE(**KW)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    xm = jax.random.normal(k1, (batch, KW["seq_len"], KW["micro_ch"]),
+                           jnp.float32)
+    xl = jax.random.normal(k2, (batch, KW["seq_len"], KW["lesion_ch"]),
+                           jnp.float32)
+    eps = jax.random.normal(k4, (batch, KW["latent"]), jnp.float32)
+    mask = jnp.ones(batch, jnp.float32).at[-3:].set(0.0)  # some padded rows
+    variables = module.init({"params": k3}, xm[:2], xl[:2], k3,
+                            jnp.ones(2, jnp.float32), True)
+    return module, variables, xm, xl, mask, eps
+
+
+def _single_device_step(module, variables, tx, opt_state, xm, xl, mask, eps,
+                        beta):
+    def loss_fn(params, stats):
+        (xh, mu, logv), nv = module.apply(
+            {"params": params, "batch_stats": stats}, xm, xl, None, mask,
+            True, eps=eps, mutable=["batch_stats"])
+        xh = jnp.nan_to_num(xh, nan=0.0)
+        mu = jnp.nan_to_num(mu, nan=0.0)
+        logv = jnp.nan_to_num(logv, nan=0.0)
+        loss, recon, kld = elbo(xh, xm, mu, logv, beta=beta, mask=mask)
+        return loss, (recon, kld, nv["batch_stats"])
+
+    (loss, (recon, kld, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables["params"], variables["batch_stats"])
+    import optax
+    updates, new_opt = tx.update(grads, opt_state, variables["params"])
+    return optax.apply_updates(variables["params"], updates), loss
+
+
+def test_shardmap_step_matches_single_device():
+    mesh = make_mesh(8)
+    module, variables, xm, xl, mask, eps = _setup()
+    tx = make_optimizer(2e-4, 1e-3, 2.0)
+    opt_state = tx.init(variables["params"])
+    beta = jnp.asarray(0.7, jnp.float32)
+
+    step, sh_module = build_shardmap_train_step(KW, tx, mesh)
+    new_p, new_stats, new_opt, loss, recon, kld = step(
+        variables["params"], variables["batch_stats"], opt_state,
+        xm, xl, mask, eps, beta)
+
+    want_p, want_loss = _single_device_step(module, variables, tx, opt_state,
+                                            xm, xl, mask, eps, beta)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(new_p)[0][:6],
+            jax.tree_util.tree_flatten_with_path(want_p)[0][:6]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6, err_msg=str(pa))
+    # BN running stats must be the GLOBAL batch stats
+    np.testing.assert_allclose(
+        np.asarray(new_stats["micro_b1"]["mean"]),
+        np.asarray(module.apply(
+            variables, xm, xl, None, mask, True,
+            eps=eps, mutable=["batch_stats"],
+        )[1]["batch_stats"]["micro_b1"]["mean"]), rtol=1e-5)
+
+
+def test_shardmap_multiple_steps_converge():
+    mesh = make_mesh(4)
+    module, variables, xm, xl, mask, eps = _setup(batch=32, seed=1)
+    tx = make_optimizer(1e-3, 1e-3, 2.0)
+    opt_state = tx.init(variables["params"])
+    step, _ = build_shardmap_train_step(KW, tx, mesh)
+    params, stats = variables["params"], variables["batch_stats"]
+    losses = []
+    for i in range(5):
+        params, stats, opt_state, loss, _, _ = step(
+            params, stats, opt_state, xm, xl, mask, eps,
+            jnp.asarray(0.1, jnp.float32))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
