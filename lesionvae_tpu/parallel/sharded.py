@@ -101,10 +101,13 @@ def build_shardmap_train_step(module_kwargs: dict, tx, mesh: Mesh):
     before the optimizer.  Bit-comparable to the single-device step (same
     reductions, same eps) — verified in tests/test_parallel.py.
     """
+    import functools as _ft
     try:
         from jax import shard_map
+        shard_map = _ft.partial(shard_map, check_vma=False)
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
+        shard_map = _ft.partial(shard_map, check_rep=False)
 
     module = LesionConditionedVAE(axis_name="data", **module_kwargs)
 
@@ -142,8 +145,7 @@ def build_shardmap_train_step(module_kwargs: dict, tx, mesh: Mesh):
         step, mesh=mesh,
         in_specs=(P_(), P_(), P_(), P_("data"), P_("data"), P_("data"),
                   P_("data"), P_()),
-        out_specs=(P_(), P_(), P_(), P_(), P_(), P_()),
-        check_rep=False)
+        out_specs=(P_(), P_(), P_(), P_(), P_(), P_()))
     return jax.jit(sharded_step), module
 
 
