@@ -18,14 +18,29 @@ __all__ = [
 __version__ = "0.1.0"
 
 
+# the reference ships empty __init__.py files so its own README imports fail
+# (SURVEY.md §2 discrepancy #2); here every documented symbol is exported
+_LAZY = {
+    "compute_streamline_metrics": ("pipeline.geometry_run", None),
+    "analyze_single_lesion": ("pipeline.lesion_run", None),
+    "run_vae_analysis": ("pipeline.vae_run", None),
+    "train_lesion_vae": ("train.trainer", None),
+    "compute_normative_statistics": ("train.normative", None),
+    "compute_zscore_residuals": ("train.normative", None),
+    "build_tensor_with_lesion_context": ("train.data", None),
+    "fit_normalization_stats": ("train.data", None),
+    "apply_normalization": ("train.data", None),
+    "LesionConditionedVAE": ("models.lesion_vae", None),
+    "elbo": ("models.elbo", None),
+    "beta_schedule": ("models.elbo", None),
+}
+
+__all__ += list(_LAZY)
+
+
 def __getattr__(name):  # lazy: keep `import lesionvae_tpu` light
-    if name == "compute_streamline_metrics":
-        from .pipeline.geometry_run import compute_streamline_metrics
-        return compute_streamline_metrics
-    if name == "analyze_single_lesion":
-        from .pipeline.lesion_run import analyze_single_lesion
-        return analyze_single_lesion
-    if name == "run_vae_analysis":
-        from .pipeline.vae_run import run_vae_analysis
-        return run_vae_analysis
+    if name in _LAZY:
+        import importlib
+        module = importlib.import_module(f".{_LAZY[name][0]}", __name__)
+        return getattr(module, name)
     raise AttributeError(name)
