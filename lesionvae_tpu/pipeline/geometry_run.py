@@ -18,6 +18,7 @@ import time
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -83,13 +84,22 @@ def compute_streamline_metrics(vtk_path: str | Path,
 # Batched cohort execution
 # ----------------------------------------------------------------------------
 def batched_bundle_metrics(bundles: List[List[np.ndarray]],
-                           dtype=jnp.float32) -> List[Dict[str, float]]:
+                           dtype=jnp.float32,
+                           mesh=None) -> List[Dict[str, float]]:
     """Bundle summaries for many bundles with a few fused device dispatches.
 
     Streamlines from every bundle are pooled, bucketed by padded point count
     (powers of two >= 32), and each bucket runs as one ``streamline_metrics``
     call.  Per-streamline results are then regrouped by bundle on the host.
+
+    ``mesh``: optional jax.sharding.Mesh — each chunk's streamline axis is
+    sharded over the ``data`` axis (the cohort's scaling axis, SURVEY.md §5.7);
+    the kernel is embarrassingly parallel so XLA needs no collectives.
     """
+    data_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+        data_sh = NamedSharding(mesh, PSpec("data"))
     from ..ops.geometry import BUNDLE_SUMMARY, STACKED_NAMES
 
     # (bundle_idx, streamline) pool per P-bucket
@@ -111,8 +121,11 @@ def batched_bundle_metrics(bundles: List[List[np.ndarray]],
             S_pad = min(S_pad, _CHUNK_S)
             pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S),
                                         max_points=P)
-            stacked = streamline_metrics_stacked(
-                jnp.asarray(pts), jnp.asarray(lens), dtype=dtype)
+            d_pts, d_lens = jnp.asarray(pts), jnp.asarray(lens)
+            if data_sh is not None:
+                d_pts = jax.device_put(d_pts, data_sh)
+                d_lens = jax.device_put(d_lens, data_sh)
+            stacked = streamline_metrics_stacked(d_pts, d_lens, dtype=dtype)
             vals_parts.append(np.asarray(stacked)[:, :S].T)
             bids_parts.append(np.fromiter((bi for bi, _ in chunk),
                                           np.int64, count=S))

@@ -53,3 +53,15 @@ def test_dp_step_matches_single_device():
     loss8, _ = dryrun_train_step(8, model_parallel=2)
     loss1, _ = dryrun_train_step(1, model_parallel=1)
     np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+
+
+def test_batched_bundle_metrics_sharded_matches(rng):
+    from lesionvae_tpu.pipeline.geometry_run import batched_bundle_metrics
+    bundles = [[rng.normal(size=(int(rng.integers(5, 30)), 3))
+                for _ in range(6)] for _ in range(5)]
+    mesh = make_mesh(8)
+    plain = batched_bundle_metrics(bundles)
+    sharded = batched_bundle_metrics(bundles, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
