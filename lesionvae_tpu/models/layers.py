@@ -15,6 +15,7 @@ momentum 0.1, eps 1e-5.  ``interp_linear`` reproduces
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -109,19 +110,29 @@ def avg_pool_half(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (x[:, 0::2] + x[:, 1::2])
 
 
-def interp_linear(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
-    """Linear resize along axis 1, torch align_corners=False semantics.
+@functools.lru_cache(maxsize=32)
+def _interp_matrix(L_in: int, out_size: int, dtype_name: str) -> jnp.ndarray:
+    """(out_size, L_in) linear-interpolation matrix, torch
+    align_corners=False semantics: src(i) = (i + 0.5)·L_in/L_out − 0.5,
+    clamped; each row holds the (1−w, w) pair."""
+    import numpy as _np
+    src = (_np.arange(out_size) + 0.5) * (L_in / out_size) - 0.5
+    src = _np.clip(src, 0.0, L_in - 1.0)
+    lo = _np.floor(src).astype(int)
+    hi = _np.minimum(lo + 1, L_in - 1)
+    w = src - lo
+    W = _np.zeros((out_size, L_in))
+    _np.add.at(W, (_np.arange(out_size), lo), 1.0 - w)
+    _np.add.at(W, (_np.arange(out_size), hi), w)
+    return jnp.asarray(W, dtype=jnp.dtype(dtype_name))
 
-    src position of output i: (i + 0.5) * (L_in / L_out) - 0.5, clamped.
-    """
-    L_in = x.shape[1]
-    scale = L_in / out_size
-    src = (jnp.arange(out_size, dtype=x.dtype) + 0.5) * scale - 0.5
-    src = jnp.clip(src, 0.0, L_in - 1.0)
-    lo = jnp.floor(src).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, L_in - 1)
-    w = (src - lo.astype(x.dtype))[None, :, None]
-    return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
+
+def interp_linear(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Linear resize along axis 1 (torch align_corners=False), computed as a
+    matmul against a constant interpolation matrix — gathers lower poorly on
+    TPU; a tiny dense matmul rides the MXU instead."""
+    W = _interp_matrix(x.shape[1], out_size, x.dtype.name)
+    return jnp.einsum("ol,blc->boc", W, x)
 
 
 def upsample2_linear(x: jnp.ndarray) -> jnp.ndarray:
