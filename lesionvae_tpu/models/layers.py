@@ -111,10 +111,13 @@ def avg_pool_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _interp_matrix(L_in: int, out_size: int, dtype_name: str) -> jnp.ndarray:
+def _interp_matrix(L_in: int, out_size: int, dtype_name: str):
     """(out_size, L_in) linear-interpolation matrix, torch
     align_corners=False semantics: src(i) = (i + 0.5)·L_in/L_out − 0.5,
-    clamped; each row holds the (1−w, w) pair."""
+    clamped; each row holds the (1−w, w) pair.
+
+    Returns a NUMPY array (cached): caching a jax array created inside a
+    trace would leak tracers into later traces."""
     import numpy as _np
     src = (_np.arange(out_size) + 0.5) * (L_in / out_size) - 0.5
     src = _np.clip(src, 0.0, L_in - 1.0)
@@ -124,7 +127,7 @@ def _interp_matrix(L_in: int, out_size: int, dtype_name: str) -> jnp.ndarray:
     W = _np.zeros((out_size, L_in))
     _np.add.at(W, (_np.arange(out_size), lo), 1.0 - w)
     _np.add.at(W, (_np.arange(out_size), hi), w)
-    return jnp.asarray(W, dtype=jnp.dtype(dtype_name))
+    return _np.asarray(W, dtype=jnp.dtype(dtype_name))
 
 
 def interp_linear(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
