@@ -189,7 +189,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     log(f"[bench] {len(normed)} VAE datasets ready in {t_build:.2f}s")
 
     # ---- stage 2: launch the VAE fleet asynchronously ---------------------
-    t0 = time.perf_counter()
+    t0 = t_fleet_launch = time.perf_counter()
     # f32: bf16 mixed precision wins 2.7x on an isolated step but LOSES ~2x
     # inside the full scanned program on this backend (layout round-trips
     # between f32 BatchNorm and bf16 convs dominate) — measured, not assumed.
@@ -226,8 +226,11 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     log(f"[bench]   fleet fetch {t_fetch:.2f}s | normative "
         f"{t_vae - t_fetch:.2f}s")
     steps = epochs * (Xm.shape[1] // 64) * len(normed)
+    fleet_wall = time.perf_counter() - t_fleet_launch  # launch → collected
     log(f"[bench] VAE fleet: {len(normed)} VAEs x {epochs} epochs "
-        f"({steps} steps) collected in {t_vae:.2f}s")
+        f"({steps} steps) collected in {t_vae:.2f}s; "
+        f"aggregate {steps / fleet_wall:.0f} steps/s over the launch→collect "
+        f"window (BASELINE.md 'VAE steps/sec')")
 
     total = time.perf_counter() - t_start
     tag = "warmup" if warm else "TOTAL"
