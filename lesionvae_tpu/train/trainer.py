@@ -20,6 +20,7 @@ Exact-semantics notes (SURVEY.md §7 hard part #2):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -69,53 +70,17 @@ def make_optimizer(lr: float, weight_decay: float, grad_clip: float):
     )
 
 
-def train_lesion_vae(X_micro: np.ndarray, X_lesion: np.ndarray,
-                     latent_dim: int = 10, epochs: int = 40,
-                     batch_size: int = 64, lr: float = 2e-4,
-                     weight_decay: float = 1e-3, grad_clip: float = 2.0,
-                     seed: int = 42,
-                     mesh=None) -> Tuple[TrainedVAE, pd.DataFrame]:
-    """Preserved public API: returns (model, history DataFrame with columns
-    loss/recon/kld/beta, one row per epoch) like vae_model.py:140-222.
-
-    ``mesh``: optional jax.sharding.Mesh with a "data" axis — the dataset and
-    every batch are sharded over it (data parallel; gradients are reduced by
-    XLA collectives inserted automatically under jit).
-    """
-    X_micro = np.nan_to_num(np.asarray(X_micro, np.float32), nan=0.0)
-    X_lesion = np.nan_to_num(np.asarray(X_lesion, np.float32), nan=0.0)
-    n, seq_len, micro_ch = X_micro.shape
-    lesion_ch = X_lesion.shape[2]
-
-    n_batches = max(1, -(-n // batch_size))
-    n_pad = n_batches * batch_size
-    pad = n_pad - n
-    if pad:
-        X_micro = np.concatenate([X_micro, np.zeros((pad, seq_len, micro_ch),
-                                                    np.float32)])
-        X_lesion = np.concatenate([X_lesion, np.zeros((pad, seq_len, lesion_ch),
-                                                      np.float32)])
-
+@functools.lru_cache(maxsize=16)
+def _train_program(n: int, n_pad: int, seq_len: int, micro_ch: int,
+                   lesion_ch: int, latent_dim: int, epochs: int,
+                   batch_size: int, lr: float, weight_decay: float,
+                   grad_clip: float):
+    """Cached (module, jitted run) per static config — retracing the full
+    training program costs tens of client seconds per call otherwise."""
+    n_batches = n_pad // batch_size
     module = LesionConditionedVAE(seq_len=seq_len, micro_ch=micro_ch,
                                   lesion_ch=lesion_ch, latent=latent_dim)
-    root = jax.random.PRNGKey(seed)
-    k_init, k_eps0, k_train = jax.random.split(root, 3)
-    variables = module.init(
-        {"params": k_init}, jnp.asarray(X_micro[:2]), jnp.asarray(X_lesion[:2]),
-        k_eps0, jnp.ones(2, jnp.float32), True)
-    params, batch_stats = variables["params"], variables["batch_stats"]
-
     tx = make_optimizer(lr, weight_decay, grad_clip)
-    opt_state = tx.init(params)
-
-    Xm = jnp.asarray(X_micro)
-    Xl = jnp.asarray(X_lesion)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        data_sh = NamedSharding(mesh, P("data"))
-        Xm = jax.device_put(Xm, data_sh)
-        Xl = jax.device_put(Xl, data_sh)
-
     betas = jnp.asarray([
         0.1 + 1.9 * (ep / (epochs - 1)) if epochs > 1 else 1.0
         for ep in range(epochs)], jnp.float32)
@@ -133,7 +98,7 @@ def train_lesion_vae(X_micro: np.ndarray, X_lesion: np.ndarray,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def epoch_step(carry, inputs):
+    def epoch_step(Xm, Xl, carry, inputs):
         ep_key, beta = inputs
         k_perm, k_eps = jax.random.split(ep_key)
         # permute real rows; dummy rows stay at the tail → exactly one
@@ -178,14 +143,64 @@ def train_lesion_vae(X_micro: np.ndarray, X_lesion: np.ndarray,
         return carry, jnp.concatenate([avg, beta[None]])
 
     @jax.jit
-    def run(params, batch_stats, opt_state, key):
+    def run(params, batch_stats, opt_state, Xm, Xl, key):
         ep_keys = jax.random.split(key, epochs)
-        carry, hist = jax.lax.scan(epoch_step, (params, batch_stats, opt_state),
-                                   (ep_keys, betas))
+        carry, hist = jax.lax.scan(
+            lambda c, i: epoch_step(Xm, Xl, c, i),
+            (params, batch_stats, opt_state), (ep_keys, betas))
         return carry, hist
 
+    return module, run
+
+
+def train_lesion_vae(X_micro: np.ndarray, X_lesion: np.ndarray,
+                     latent_dim: int = 10, epochs: int = 40,
+                     batch_size: int = 64, lr: float = 2e-4,
+                     weight_decay: float = 1e-3, grad_clip: float = 2.0,
+                     seed: int = 42,
+                     mesh=None) -> Tuple[TrainedVAE, pd.DataFrame]:
+    """Preserved public API: returns (model, history DataFrame with columns
+    loss/recon/kld/beta, one row per epoch) like vae_model.py:140-222.
+
+    ``mesh``: optional jax.sharding.Mesh with a "data" axis — the dataset and
+    every batch are sharded over it (data parallel; gradients are reduced by
+    XLA collectives inserted automatically under jit).
+    """
+    X_micro = np.nan_to_num(np.asarray(X_micro, np.float32), nan=0.0)
+    X_lesion = np.nan_to_num(np.asarray(X_lesion, np.float32), nan=0.0)
+    n, seq_len, micro_ch = X_micro.shape
+    lesion_ch = X_lesion.shape[2]
+
+    n_batches = max(1, -(-n // batch_size))
+    n_pad = n_batches * batch_size
+    pad = n_pad - n
+    if pad:
+        X_micro = np.concatenate([X_micro, np.zeros((pad, seq_len, micro_ch),
+                                                    np.float32)])
+        X_lesion = np.concatenate([X_lesion, np.zeros((pad, seq_len, lesion_ch),
+                                                      np.float32)])
+
+    module, run = _train_program(n, n_pad, seq_len, micro_ch, lesion_ch,
+                                 latent_dim, epochs, batch_size, lr,
+                                 weight_decay, grad_clip)
+    root = jax.random.PRNGKey(seed)
+    k_init, k_eps0, k_train = jax.random.split(root, 3)
+    variables = module.init(
+        {"params": k_init}, jnp.asarray(X_micro[:2]), jnp.asarray(X_lesion[:2]),
+        k_eps0, jnp.ones(2, jnp.float32), True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = make_optimizer(lr, weight_decay, grad_clip).init(params)
+
+    Xm = jnp.asarray(X_micro)
+    Xl = jnp.asarray(X_lesion)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_sh = NamedSharding(mesh, P("data"))
+        Xm = jax.device_put(Xm, data_sh)
+        Xl = jax.device_put(Xl, data_sh)
+
     (params, batch_stats, opt_state), hist = run(params, batch_stats,
-                                                 opt_state, k_train)
+                                                 opt_state, Xm, Xl, k_train)
     hist = np.asarray(hist)
     hist_df = pd.DataFrame(hist, columns=["loss", "recon", "kld", "beta"])
     for ep in (1, 10, 20, 30, 40):
