@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Dict, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 from ..core.config import Config, load_config
 from ..train import data as vdata
@@ -130,4 +131,86 @@ def run_vae_analysis(tract: str, latent_dim: int = 10, epochs: int = 40,
 
     log.info("VAE analysis complete for %s: %d timepoints → %s",
              tract, len(results), output_dir)
+    return results
+
+
+def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
+                   epochs: int = 40, batch_size: int = 64, lr: float = 2e-4,
+                   config: Optional[Config] = None,
+                   base_path: str | Path | None = None,
+                   timepoints: Optional[Sequence[str]] = None,
+                   output_dir: str | Path | None = None,
+                   seed: int = 42) -> Dict[tuple, dict]:
+    """Train the whole (tract x timepoint) VAE fleet CONCURRENTLY (one
+    vmapped device program, train.batched) and compute normative z-scores
+    per member — the production cohort path; the reference can only train
+    one VAE per invocation.
+
+    Returns {(tract, timepoint): {"model", "history", "Z", "magnitude",
+    "subj_ids", "group_labels"}}.
+    """
+    from ..train.batched import launch_many_vaes, pad_datasets
+
+    config = config or load_config()
+    base_path = Path(base_path) if base_path else Path(config.base_path)
+    timepoints = list(timepoints if timepoints is not None else config.timepoints)
+    output_dir = (Path(output_dir) if output_dir
+                  else base_path / "results" / "vae_cohort")
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    groups_dict = {g: list(s) for g, s in config.subjects_by_group().items()}
+    subjects = [s for subs in groups_dict.values() for s in subs]
+
+    keys, tensors, meta = [], [], []
+    for tract in tracts:
+        for tp in timepoints:
+            try:
+                Xm, Xl, subj_ids, group_labels, _s = \
+                    vdata.build_tensor_with_lesion_context(
+                        base_path, tract, tp, subjects,
+                        config.microstructure_features,
+                        config.lesion_features, groups_dict)
+            except ValueError as e:
+                log.warning("%s", e)
+                continue
+            stats = vdata.fit_normalization_stats(
+                Xm, Xl, list(config.microstructure_features))
+            Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
+            keys.append((tract, tp))
+            tensors.append((Xz, Xl))
+            meta.append((subj_ids, group_labels))
+
+    if not tensors:
+        log.error("no datasets for the VAE cohort")
+        return {}
+
+    Xm_all, Xl_all, n_real = pad_datasets(tensors, batch_size=batch_size)
+    fetch = launch_many_vaes(Xm_all, Xl_all, n_real, latent_dim=latent_dim,
+                             epochs=epochs, batch_size=batch_size, lr=lr,
+                             seed=seed)
+    models, hist = fetch()
+
+    results: Dict[tuple, dict] = {}
+    for i, key in enumerate(keys):
+        tract, tp = key
+        Xz_i, Xl_i = tensors[i]
+        subj_ids, group_labels = meta[i]
+        hist_df = pd.DataFrame(hist[i], columns=["loss", "recon", "kld",
+                                                 "beta"])
+        hist_df.to_csv(output_dir / f"training_history_{tract}_{tp}.csv",
+                       index=False)
+        sham = group_labels == "Sham"
+        entry = dict(model=models[i], history=hist_df, subj_ids=subj_ids,
+                     group_labels=group_labels)
+        if sham.any():
+            mean_r, std_r, Z, magnitude = normative_zscores_fused(
+                models[i], Xz_i, Xl_i, sham, seed=seed)
+            np.savez_compressed(
+                output_dir / f"zscores_{tract}_{tp}.npz", Z=Z,
+                magnitude=magnitude, subj_ids=subj_ids,
+                group_labels=group_labels, norm_mean=mean_r, norm_std=std_r)
+            entry.update(Z=Z, magnitude=magnitude)
+        results[key] = entry
+
+    log.info("VAE cohort complete: %d members → %s", len(results), output_dir)
     return results

@@ -65,3 +65,26 @@ def test_run_vae_analysis_small(cohort):
     assert (out / "deviation_profiles_9d.png").exists()
     assert (out / "lesion_impact_9d.png").exists()
     assert (out / "latent_space_9d.png").exists()
+
+
+def test_run_vae_cohort_fleet(cohort):
+    """Fleet cohort API: both tracts x one timepoint trained concurrently."""
+    root, cfg_path = cohort
+    from lesionvae_tpu.core.config import load_config
+    from lesionvae_tpu.pipeline.vae_run import run_vae_cohort
+
+    cfg = load_config(cfg_path)
+    results = run_vae_cohort(["atr_left", "fimbria_right"], latent_dim=3,
+                             epochs=2, batch_size=16, config=cfg,
+                             base_path=root, timepoints=["9d"],
+                             output_dir=root / "results" / "vae_cohort",
+                             seed=0)
+    assert set(results) == {("atr_left", "9d"), ("fimbria_right", "9d")}
+    for key, r in results.items():
+        assert r["Z"].shape[1:] == (100, 13)
+        assert np.isfinite(r["magnitude"]).all()
+        assert len(r["history"]) == 2
+    assert (root / "results" / "vae_cohort"
+            / "training_history_atr_left_9d.csv").exists()
+    assert (root / "results" / "vae_cohort"
+            / "zscores_fimbria_right_9d.npz").exists()
