@@ -66,6 +66,17 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--no-plots", action="store_true")
 
+    p = sub.add_parser("vae-cohort",
+                       help="train the whole (tract x timepoint) VAE fleet "
+                            "concurrently")
+    _add_common(p)
+    p.add_argument("--tracts", nargs="*", default=None,
+                   help="default: config geometry tracts")
+    p.add_argument("--latent-dim", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=2e-4)
+
     p = sub.add_parser("classify", help="TBI-vs-PTE classification")
     _add_common(p)
     p.add_argument("--geometry-csv", default=None)
@@ -114,6 +125,14 @@ def main(argv=None) -> int:
                          lr=args.lr, config=config, base_path=base,
                          output_dir=out_root / "vae_analysis" / args.tract,
                          seed=args.seed, make_plots=not args.no_plots)
+
+    elif args.stage == "vae-cohort":
+        from .pipeline.vae_run import run_vae_cohort
+        tracts = args.tracts or list(config.geometry_tracts)
+        run_vae_cohort(tracts, latent_dim=args.latent_dim, epochs=args.epochs,
+                       batch_size=args.batch_size, lr=args.lr, config=config,
+                       base_path=base, output_dir=out_root / "vae_cohort",
+                       seed=args.seed)
 
     elif args.stage == "classify":
         from .pipeline.classification import run_classification
