@@ -98,20 +98,23 @@ def prepare_lesion(lesion_path: Path, num_samples: int,
     if not lesion_path.exists():
         return None, "missing"
     try:
+        # the whole preprocessing chain is guarded: the reference's lenient
+        # analyzer zeroes out on ANY exception
+        # (lesion_sh_heme_comprehensive.py:438-441)
         img = nifti.load(lesion_path)
         lesion_data = img.get_fdata()
         affine = img.affine
+        largest_cc = vol.extract_largest_connected_component(lesion_data)
+        if np.sum(largest_cc) < MIN_LESION_VOXELS:
+            return None, "too_small"
+        centroid_voxel = vol.compute_centroid(largest_cc)
+        centroid_mm = nifti.apply_affine(affine, centroid_voxel)
+        scale, volume = vol.normalize_to_unit_volume(largest_cc, affine)
+        surface = vol.extract_surface_points(largest_cc, affine,
+                                             num_points=num_samples, rng=rng)
     except Exception as e:
-        log.warning("error loading lesion %s: %s", lesion_path, e)
+        log.warning("error analyzing lesion %s: %s", lesion_path, e)
         return None, "error"
-    largest_cc = vol.extract_largest_connected_component(lesion_data)
-    if np.sum(largest_cc) < MIN_LESION_VOXELS:
-        return None, "too_small"
-    centroid_voxel = vol.compute_centroid(largest_cc)
-    centroid_mm = nifti.apply_affine(affine, centroid_voxel)
-    scale, volume = vol.normalize_to_unit_volume(largest_cc, affine)
-    surface = vol.extract_surface_points(largest_cc, affine,
-                                         num_points=num_samples, rng=rng)
     if len(surface) < MIN_SURFACE_POINTS:
         return None, "few_surface_points"
     return _PreparedLesion(surface, centroid_mm, scale, volume), "ok"

@@ -167,3 +167,24 @@ def test_spectrum_matches_scipy_end_to_end(cohort):
     recon = A @ coeffs
     want_r = np.corrcoef(radii, recon)[0, 1]
     np.testing.assert_allclose(res["reconstruction_r"], want_r, atol=1e-8)
+
+
+def test_corrupt_lesion_file_yields_zero_row(cohort, tmp_path):
+    """Lenient contract: ANY analysis failure → zero SH row, not a crash
+    (lesion_sh_heme_comprehensive.py:438-441)."""
+    cfg, root = cohort
+    tbi = cfg.subjects_by_group()["TBI"][0]
+    data2 = tmp_path / "data"
+    import shutil
+    shutil.copytree(root / "data", data2)
+    bad = data2 / tbi / "9d" / "lesion_cleaned.nii.gz"
+    bad.write_bytes(b"corrupt" * 100)
+    res, ok = lesion_run.analyze_single_lesion(tbi, "9d", data2,
+                                               num_samples=200)
+    assert ok and res is not None
+    assert res["original_volume_mm3"] == 0.0
+    assert res["P0"] == 0.0
+    # strict variant fails instead
+    res2, ok2 = lesion_run.analyze_single_lesion(tbi, "9d", data2,
+                                                 num_samples=200, strict=True)
+    assert res2 is None and not ok2
