@@ -65,14 +65,25 @@ class _Cursor:
         return arr
 
     def read_ascii_numbers(self, count: int, dtype) -> np.ndarray:
-        """Read ``count`` whitespace-separated numbers spanning multiple lines."""
+        """Read ``count`` whitespace-separated numbers spanning multiple lines.
+
+        Raises ValueError on truncated input — at EOF ``readline`` returns ''
+        forever, so without the position check this would loop indefinitely."""
+        # each ASCII number occupies >= 1 byte: a declared count beyond the
+        # remaining buffer is malformed — reject before allocating
+        if count > len(self.data) - self.pos:
+            raise ValueError(
+                f"declared count {count} exceeds remaining input")
         out = np.empty(count, dtype=dtype)
         filled = 0
         while filled < count:
+            if self.pos >= len(self.data):
+                raise ValueError(
+                    f"truncated ASCII section: got {filled}/{count} numbers")
             line = self.readline()
             if not line:
                 continue
-            vals = np.fromstring(line, sep=" ") if False else np.array(line.split(), dtype=dtype)
+            vals = np.array(line.split(), dtype=dtype)
             take = min(len(vals), count - filled)
             out[filled:filled + take] = vals[:take]
             filled += take
@@ -162,6 +173,9 @@ def read_vtk_polydata(path: str | Path) -> Tuple[np.ndarray, np.ndarray, np.ndar
                 i = 0
                 while i < n_b and len(offs) <= n_a:
                     npts = int(flat[i])
+                    if npts < 0:
+                        raise ValueError(
+                            f"{path}: negative cell size in LINES")
                     conn_parts.append(flat[i + 1:i + 1 + npts])
                     offs.append(offs[-1] + npts)
                     i += 1 + npts

@@ -30,13 +30,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:
+    # Always invoke make: the Makefile's dependency check makes this a no-op
+    # when the .so is fresh, and it rebuilds when vtk_parser.cpp changed —
+    # a stale binary must never shadow edited source.  The .so is build
+    # output, not versioned (see .gitignore).
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as e:
+        if not _LIB_PATH.exists():
             log.info("native VTK parser unavailable (%s); using Python parser", e)
             return None
+        log.warning("make failed (%s); loading existing %s", e, _LIB_PATH)
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:

@@ -8,10 +8,11 @@ Reference semantics (file:line into /root/reference):
 - largest connected component: src/lesion/lesion_sh_heme_comprehensive.py:58-75
 - centroid: :78-84
 - unit-volume normalization scale V^(-1/3): :87-95
-- erosion-based surface extraction (the reference's fallback path :132-144 —
-  our primary path since skimage's marching cubes is not a dependency here;
-  parity is distributional because the reference's surface subsampling is
-  unseeded, SURVEY.md §5.6)
+- surface extraction: an in-repo marching-cubes vertex extractor is the
+  primary path for lesions >100 voxels, with erosion-based extraction as the
+  fallback — mirroring the reference's skimage gate at :119 and its fallback
+  at :132-144; parity is distributional because the reference's surface
+  subsampling is unseeded (SURVEY.md §5.6)
 - brain volume from tissue mask with FA fallback: :226-259
 - heme content metrics: :262-319
 """

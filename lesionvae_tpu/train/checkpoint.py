@@ -31,10 +31,17 @@ def save_vae(path: str | Path, model: TrainedVAE,
         "lesion_ch": model.module.lesion_ch,
         "latent": model.module.latent,
     }
-    (path / "module.json").write_text(json.dumps(meta))
     payload = {"params": model.params, "batch_stats": model.batch_stats}
     if norm_stats is not None:
-        payload["norm_stats"] = {k: np.asarray(v) for k, v in norm_stats.items()}
+        arrays = {k: np.asarray(v) for k, v in norm_stats.items()}
+        payload["norm_stats"] = arrays
+        # record the exact keys/shapes/dtypes so load_vae can build the
+        # restore template from metadata instead of guessing — norm_stats is
+        # an arbitrary Dict[str, ndarray], not a fixed schema
+        meta["norm_stats_spec"] = {
+            k: {"shape": list(v.shape), "dtype": str(v.dtype)}
+            for k, v in arrays.items()}
+    (path / "module.json").write_text(json.dumps(meta))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path / "state", payload, force=True)
     ckptr.wait_until_finished()
@@ -44,6 +51,7 @@ def load_vae(path: str | Path
              ) -> Tuple[TrainedVAE, Optional[Dict[str, np.ndarray]]]:
     path = Path(path).resolve()
     meta = json.loads((path / "module.json").read_text())
+    norm_spec = meta.pop("norm_stats_spec", None)
     module = LesionConditionedVAE(**meta)
 
     # template for structure/dtype restoration
@@ -56,19 +64,15 @@ def load_vae(path: str | Path
         key, jnp.ones(2, jnp.float32), True)
     template = {"params": variables["params"],
                 "batch_stats": variables["batch_stats"]}
+    if norm_spec is not None:
+        # rebuild the norm_stats template from the recorded keys/shapes/dtypes
+        template["norm_stats"] = {
+            k: np.zeros(tuple(spec["shape"]), np.dtype(spec["dtype"]))
+            for k, spec in norm_spec.items()}
 
     ckptr = ocp.StandardCheckpointer()
-    try:
-        restored = ckptr.restore(path / "state", template)
-        norm = None
-    except Exception:
-        # payload may carry norm_stats too
-        template2 = dict(template)
-        template2["norm_stats"] = {
-            "median": np.zeros(meta["micro_ch"], np.float32),
-            "mean": np.zeros(meta["micro_ch"], np.float32),
-            "std": np.ones(meta["micro_ch"], np.float32)}
-        restored = ckptr.restore(path / "state", template2)
-        norm = {k: np.asarray(v) for k, v in restored["norm_stats"].items()}
+    restored = ckptr.restore(path / "state", template)
+    norm = ({k: np.asarray(v) for k, v in restored["norm_stats"].items()}
+            if norm_spec is not None else None)
     model = TrainedVAE(module, restored["params"], restored["batch_stats"])
     return model, norm

@@ -46,6 +46,11 @@ struct Cursor {
 
   // parse `count` ASCII floats spanning lines
   bool ascii_doubles(size_t count, std::vector<double>& out) {
+    // Declared counts are untrusted: each ASCII number occupies >= 1 byte, so
+    // any count exceeding the remaining buffer is malformed.  Rejecting here
+    // (before reserve) prevents bad_alloc on absurd headers like
+    // "POINTS 999999999999999 float".
+    if (count > len - pos) return false;
     out.reserve(out.size() + count);
     const char* p = data + pos;
     const char* lim = data + len;
@@ -64,6 +69,7 @@ struct Cursor {
   }
 
   bool ascii_ints(size_t count, std::vector<int64_t>& out) {
+    if (count > len - pos) return false;  // see ascii_doubles
     out.reserve(out.size() + count);
     const char* p = data + pos;
     const char* lim = data + len;
@@ -84,8 +90,10 @@ struct Cursor {
   template <typename T>
   bool binary(size_t count, std::vector<T>& out, size_t elem_size,
               bool is_float) {
+    // count*elem_size can wrap size_t for hostile declared counts, bypassing
+    // a pos+nbytes bounds check; divide instead of multiplying.
+    if (elem_size == 0 || count > (len - pos) / elem_size) return false;
     size_t nbytes = count * elem_size;
-    if (pos + nbytes > len) return false;
     const unsigned char* p = (const unsigned char*)(data + pos);
     out.reserve(out.size() + count);
     for (size_t i = 0; i < count; i++, p += elem_size) {
@@ -128,10 +136,6 @@ size_t dtype_size(const std::string& name) {
   return 4;
 }
 
-bool dtype_is_float(const std::string& name) {
-  return name == "float" || name == "double";
-}
-
 std::string upper(std::string s) {
   for (auto& c : s) c = (char)toupper((unsigned char)c);
   return s;
@@ -150,27 +154,26 @@ std::vector<std::string> tokens(const std::string& s) {
   return out;
 }
 
-Parsed* parse(const char* buf, size_t len) {
-  auto* out = new Parsed();
+void parse_impl(const char* buf, size_t len, Parsed* out) {
   Cursor cur{buf, len};
 
   std::string header = cur.line();
   if (header.find("vtk") == std::string::npos &&
       header.find("VTK") == std::string::npos) {
     out->error = "not a legacy VTK file";
-    return out;
+    return;
   }
   cur.line();  // title
   std::string fmt = upper(cur.line());
   bool binary = fmt == "BINARY";
   if (!binary && fmt != "ASCII") {
     out->error = "unsupported encoding: " + fmt;
-    return out;
+    return;
   }
   std::string dataset = upper(cur.line());
   if (dataset.find("POLYDATA") == std::string::npos) {
     out->error = "expected DATASET POLYDATA";
-    return out;
+    return;
   }
 
   while (!cur.eof()) {
@@ -186,11 +189,11 @@ Parsed* parse(const char* buf, size_t len) {
       if (binary) {
         if (!cur.binary<double>(3 * n, out->points, dtype_size(dt), true)) {
           out->error = "truncated POINTS";
-          return out;
+          return;
         }
       } else if (!cur.ascii_doubles(3 * n, out->points)) {
         out->error = "bad ASCII POINTS";
-        return out;
+        return;
       }
     } else if (kw == "LINES" && tok.size() >= 3) {
       size_t n_a = (size_t)strtoll(tok[1].c_str(), nullptr, 10);
@@ -204,18 +207,18 @@ Parsed* parse(const char* buf, size_t len) {
         if (binary) {
           if (!cur.binary<int64_t>(n_a, out->offsets, dtype_size(dt), false)) {
             out->error = "truncated OFFSETS";
-            return out;
+            return;
           }
         } else if (!cur.ascii_ints(n_a, out->offsets)) {
           out->error = "bad OFFSETS";
-          return out;
+          return;
         }
         std::string cline = cur.line();
         while (cline.empty() && !cur.eof()) cline = cur.line();
         auto ctok = tokens(cline);
         if (ctok.empty() || upper(ctok[0]) != "CONNECTIVITY") {
           out->error = "expected CONNECTIVITY";
-          return out;
+          return;
         }
         std::string cdt = ctok.size() > 1 ? ctok[1] : "vtktypeint64";
         for (auto& c : cdt) c = (char)tolower((unsigned char)c);
@@ -223,11 +226,11 @@ Parsed* parse(const char* buf, size_t len) {
           if (!cur.binary<int64_t>(n_b, out->connectivity, dtype_size(cdt),
                                    false)) {
             out->error = "truncated CONNECTIVITY";
-            return out;
+            return;
           }
         } else if (!cur.ascii_ints(n_b, out->connectivity)) {
           out->error = "bad CONNECTIVITY";
-          return out;
+          return;
         }
       } else {
         // classic v4 packed layout
@@ -236,16 +239,20 @@ Parsed* parse(const char* buf, size_t len) {
         if (binary) {
           if (!cur.binary<int64_t>(n_b, flat, 4, false)) {
             out->error = "truncated LINES";
-            return out;
+            return;
           }
         } else if (!cur.ascii_ints(n_b, flat)) {
           out->error = "bad LINES";
-          return out;
+          return;
         }
         out->offsets.push_back(0);
         size_t i = 0;
         while (i < flat.size() && out->offsets.size() <= n_a) {
           int64_t npts = flat[i];
+          if (npts < 0) {  // hostile cell size would wrap the index advance
+            out->error = "negative cell size in LINES";
+            return;
+          }
           for (int64_t k = 0; k < npts && i + 1 + (size_t)k < flat.size(); k++)
             out->connectivity.push_back(flat[i + 1 + k]);
           out->offsets.push_back((int64_t)out->connectivity.size());
@@ -257,6 +264,23 @@ Parsed* parse(const char* buf, size_t len) {
     }
   }
   if (out->offsets.empty()) out->offsets.push_back(0);
+}
+
+// No C++ exception may cross the C ABI (ctypes would see std::terminate);
+// any throw (e.g. bad_alloc on a huge well-formed file) becomes a stored
+// error string the Python side raises as ValueError.
+Parsed* parse(const char* buf, size_t len) {
+  auto* out = new Parsed();
+  try {
+    parse_impl(buf, len, out);
+  } catch (const std::exception& e) {
+    out->points.clear();
+    out->offsets.assign(1, 0);
+    out->connectivity.clear();
+    out->error = std::string("parse failure: ") + e.what();
+  } catch (...) {
+    out->error = "parse failure";
+  }
   return out;
 }
 

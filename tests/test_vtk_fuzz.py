@@ -60,6 +60,49 @@ def test_points_only_no_lines(tmp_path):
     assert vtk.read_streamlines(p) == []
 
 
+@pytest.mark.parametrize("payload", [
+    # hostile declared counts: must raise, not bad_alloc/terminate the process
+    b"# vtk DataFile Version 3.0\nt\nASCII\nDATASET POLYDATA\n"
+    b"POINTS 999999999999999 float\n1 2 3\n",
+    b"# vtk DataFile Version 3.0\nt\nBINARY\nDATASET POLYDATA\n"
+    b"POINTS 999999999999999 float\n\x00\x00\x00\x00",
+    # count*elem_size wraps size_t (2^61 * 8 == 0 mod 2^64)
+    b"# vtk DataFile Version 3.0\nt\nBINARY\nDATASET POLYDATA\n"
+    b"POINTS 2305843009213693952 double\n\x00",
+    # negative cell size in the v4 packed layout
+    b"# vtk DataFile Version 3.0\nt\nASCII\nDATASET POLYDATA\n"
+    b"POINTS 1 float\n0 0 0\nLINES 1 2\n-5 0\n",
+])
+def test_hostile_counts_raise_both_parsers(tmp_path, payload):
+    p = tmp_path / "hostile.vtk"
+    p.write_bytes(payload)
+    if vtk_native.available():
+        with pytest.raises(ValueError):
+            vtk_native.parse_polydata(payload)
+    saved, vtk_native._lib = vtk_native._lib, None
+    vtk_native._tried = True
+    try:
+        with pytest.raises((ValueError, OverflowError)):
+            vtk.read_vtk_polydata(p)
+    finally:
+        vtk_native._lib = saved
+
+
+def test_truncated_ascii_python_path_raises(tmp_path):
+    """The pure-Python tokenizer must raise on truncated ASCII input rather
+    than spin forever at EOF (the native parser must not shadow this path)."""
+    p = tmp_path / "trunc.vtk"
+    p.write_bytes(b"# vtk DataFile Version 3.0\nt\nASCII\nDATASET POLYDATA\n"
+                  b"POINTS 5 float\n1 2 3\n")
+    saved, vtk_native._lib = vtk_native._lib, None
+    vtk_native._tried = True
+    try:
+        with pytest.raises(ValueError):
+            vtk.read_vtk_polydata(p)
+    finally:
+        vtk_native._lib = saved
+
+
 def test_out_of_range_indices_rejected(tmp_path):
     """Connectivity pointing past POINTS must not segfault/garbage — the
     reader slices points[idx]; numpy raises IndexError for OOB."""
