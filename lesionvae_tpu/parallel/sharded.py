@@ -149,6 +149,57 @@ def build_shardmap_train_step(module_kwargs: dict, tx, mesh: Mesh):
     return jax.jit(sharded_step), module
 
 
+def dryrun_shardmap_step(n_devices: int, seq_len: int = 16, micro_ch: int = 4,
+                         lesion_ch: int = 2, latent: int = 4,
+                         batch: int = 32) -> Tuple[float, float]:
+    """One explicit shard_map DP step on an ``n_devices`` mesh with manual
+    collectives, plus the identical single-device step for comparison.
+
+    Returns (sharded_loss, single_device_loss) — they must agree (same
+    reductions, same pre-drawn eps; tests/test_shardmap.py proves parity on
+    params and BN stats too).  Driver-facing: __graft_entry__.dryrun_multichip
+    runs this alongside the GSPMD path.
+    """
+    from .mesh import make_mesh
+
+    kw = dict(seq_len=seq_len, micro_ch=micro_ch, lesion_ch=lesion_ch,
+              latent=latent)
+    module = LesionConditionedVAE(**kw)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    xm = jax.random.normal(k1, (batch, seq_len, micro_ch), jnp.float32)
+    xl = jax.random.normal(k2, (batch, seq_len, lesion_ch), jnp.float32)
+    eps = jax.random.normal(k4, (batch, latent), jnp.float32)
+    mask = jnp.ones(batch, jnp.float32).at[-3:].set(0.0)  # padded tail rows
+    variables = module.init({"params": k3}, xm[:2], xl[:2], k3,
+                            jnp.ones(2, jnp.float32), True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = make_optimizer(2e-4, 1e-3, 2.0)
+    opt_state = tx.init(params)
+    beta = jnp.asarray(0.7, jnp.float32)
+
+    mesh = make_mesh(n_devices)  # pure DP over the data axis
+    step, _ = build_shardmap_train_step(kw, tx, mesh)
+    new_p, _, _, loss_sm, _, _ = step(params, batch_stats, opt_state,
+                                      xm, xl, mask, eps, beta)
+    delta = float(jnp.linalg.norm(
+        new_p["fc_dec"]["dense"]["kernel"]
+        - params["fc_dec"]["dense"]["kernel"]))
+    assert delta > 0, "shard_map step did not update parameters"
+
+    def loss_fn(p, stats):
+        (xh, mu, logv), _ = module.apply(
+            {"params": p, "batch_stats": stats}, xm, xl, None, mask, True,
+            eps=eps, mutable=["batch_stats"])
+        loss, _, _ = elbo(jnp.nan_to_num(xh, nan=0.0), xm,
+                          jnp.nan_to_num(mu, nan=0.0),
+                          jnp.nan_to_num(logv, nan=0.0), beta=beta, mask=mask)
+        return loss
+
+    loss_single = jax.jit(loss_fn)(params, batch_stats)
+    return float(loss_sm), float(loss_single)
+
+
 def dryrun_train_step(n_devices: int, model_parallel: int = 2,
                       seq_len: int = 16, micro_ch: int = 4, lesion_ch: int = 2,
                       latent: int = 4, batch: int = 16) -> Tuple[float, float]:

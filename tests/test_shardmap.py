@@ -95,3 +95,19 @@ def test_shardmap_multiple_steps_converge():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+
+
+def test_dryrun_shardmap_matches_single_device():
+    from lesionvae_tpu.parallel.sharded import dryrun_shardmap_step
+    loss_sm, loss_ref = dryrun_shardmap_step(8)
+    np.testing.assert_allclose(loss_sm, loss_ref, rtol=1e-5)
+
+
+def test_graft_entry_dryrun_inline():
+    """The driver-facing dryrun must pass inline on the fake 8-device mesh
+    (and bootstrap a subprocess on hosts with fewer devices)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)  # conftest provides 8 virtual devices -> inline
