@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Micro-benchmark of the VAE fleet training step on the real TPU chip.
+
+The fleet program (train.batched) is the bench's critical path: 600
+sequential vmapped steps dominate the full-cohort wall-clock (BENCH_r01).
+This harness times ablations to locate the bottleneck:
+
+  python benchmarks/fleet_step.py [mode ...]
+
+modes (default: step):
+  step        one fleet batch-step (fwd+bwd+adam) jitted alone, T x 64 x L
+  fwd         forward+loss only
+  fwdbwd      forward+backward, no optimizer
+  nogather    step with a static batch slice instead of the row gather
+  epoch       one full epoch (scan over n_batches) per timing
+  train       the full training program at epochs=E (steady-state steps/s)
+
+env: FLEET_T (64), FLEET_NPAD (960), FLEET_L (100), FLEET_EPOCHS (2),
+     FLEET_DTYPE (f32|bf16)
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lesionvae")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from lesionvae_tpu.models.elbo import elbo
+from lesionvae_tpu.models.lesion_vae import LesionConditionedVAE
+from lesionvae_tpu.train.trainer import make_optimizer
+
+T = int(os.environ.get("FLEET_T", "64"))
+N_PAD = int(os.environ.get("FLEET_NPAD", "960"))
+L = int(os.environ.get("FLEET_L", "100"))
+EPOCHS = int(os.environ.get("FLEET_EPOCHS", "2"))
+CM, CL, LATENT, BATCH = 13, 3, 10, 64
+DTYPE = {"f32": None, "bf16": jnp.bfloat16}[os.environ.get("FLEET_DTYPE",
+                                                           "f32")]
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def setup():
+    module = LesionConditionedVAE(seq_len=L, micro_ch=CM, lesion_ch=CL,
+                                  latent=LATENT, compute_dtype=DTYPE)
+    tx = make_optimizer(2e-4, 1e-3, 2.0)
+    rng = np.random.default_rng(0)
+    Xm = jnp.asarray(rng.normal(size=(T, N_PAD, L, CM)), jnp.float32)
+    Xl = jnp.asarray(rng.uniform(size=(T, N_PAD, L, CL)), jnp.float32)
+
+    def init_one(key):
+        k1, k2 = jax.random.split(key)
+        v = module.init({"params": k1},
+                        jnp.zeros((2, L, CM), jnp.float32),
+                        jnp.zeros((2, L, CL), jnp.float32), k2,
+                        jnp.ones(2, jnp.float32), True)
+        return v["params"], v["batch_stats"]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), T)
+    params, stats = jax.jit(jax.vmap(init_one))(keys)
+    opt_state = jax.jit(jax.vmap(tx.init))(params)
+    return module, tx, Xm, Xl, params, stats, opt_state
+
+
+def make_loss(module):
+    def loss_fn(p, stats, xb_m, xb_l, mask, rng, beta):
+        (xh, mu, logv), new_vars = module.apply(
+            {"params": p, "batch_stats": stats}, xb_m, xb_l, rng, mask, True,
+            mutable=["batch_stats"])
+        xh = jnp.nan_to_num(xh.astype(jnp.float32), nan=0.0)
+        mu = jnp.nan_to_num(mu.astype(jnp.float32), nan=0.0)
+        logv = jnp.nan_to_num(logv.astype(jnp.float32), nan=0.0)
+        loss, recon, kld = elbo(xh, xb_m, mu, logv, beta=beta, mask=mask)
+        return loss, (recon, kld, new_vars["batch_stats"])
+    return loss_fn
+
+
+def timeit(fn, args, n=20, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_step(module, tx, Xm, Xl, params, stats, opt_state, *, gather=True,
+               what="step"):
+    loss_fn = make_loss(module)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def one(p, s, o, Xm_i, Xl_i, key):
+        if gather:
+            perm = jax.random.permutation(key, N_PAD)
+            idx = jax.lax.dynamic_slice_in_dim(perm, 0, BATCH)
+            xb_m = jnp.take(Xm_i, idx, axis=0)
+            xb_l = jnp.take(Xl_i, idx, axis=0)
+        else:
+            xb_m = jax.lax.dynamic_slice_in_dim(Xm_i, 0, BATCH)
+            xb_l = jax.lax.dynamic_slice_in_dim(Xl_i, 0, BATCH)
+        mask = jnp.ones(BATCH, jnp.float32)
+        if what == "fwd":
+            loss, aux = loss_fn(p, s, xb_m, xb_l, mask, key, 1.0)
+            return loss
+        (loss, (recon, kld, new_stats)), grads = grad_fn(
+            p, s, xb_m, xb_l, mask, key, 1.0)
+        if what == "fwdbwd":
+            return loss, grads
+        updates, new_o = tx.update(grads, o, p)
+        new_p = jax.tree.map(lambda a, u: a + u, p, updates)
+        return loss, new_p, new_stats, new_o
+
+    keys = jax.random.split(jax.random.PRNGKey(1), T)
+    step = jax.jit(jax.vmap(one))
+    dt = timeit(step, (params, stats, opt_state, Xm, Xl, keys))
+    agg = T / dt
+    log(f"[{what}{'' if gather else '-nogather'}] {dt * 1e3:.2f} ms/fleet-step"
+        f"  ({agg:.0f} member-steps/s aggregate)")
+    return dt
+
+
+def bench_train(module, tx, Xm, Xl, params, stats, opt_state):
+    from lesionvae_tpu.train.batched import _fleet_program
+    program, _, n_batches = _fleet_program(
+        N_PAD, L, CM, CL, LATENT, EPOCHS, BATCH, 2e-4, 1e-3, 2.0,
+        None if DTYPE is None else DTYPE)
+    n_j = jnp.full(T, N_PAD - 10, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(2), T)
+    t0 = time.perf_counter()
+    out = program(Xm, Xl, n_j, keys)
+    jax.block_until_ready(out)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = program(Xm, Xl, n_j, keys)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    steps = EPOCHS * n_batches * T
+    log(f"[train] {dt:.2f}s for {EPOCHS} epochs x {n_batches} batches x {T} "
+        f"members = {steps} member-steps -> {steps / dt:.0f} steps/s "
+        f"({dt / (EPOCHS * n_batches) * 1e3:.2f} ms/fleet-step; warm-incl-"
+        f"compile {warm:.1f}s)")
+
+
+def main():
+    modes = sys.argv[1:] or ["step"]
+    log(f"devices: {jax.devices()}  T={T} n_pad={N_PAD} L={L} "
+        f"dtype={os.environ.get('FLEET_DTYPE', 'f32')}")
+    module, tx, Xm, Xl, params, stats, opt_state = setup()
+    for m in modes:
+        if m == "step":
+            bench_step(module, tx, Xm, Xl, params, stats, opt_state)
+        elif m == "fwd":
+            bench_step(module, tx, Xm, Xl, params, stats, opt_state,
+                       what="fwd")
+        elif m == "fwdbwd":
+            bench_step(module, tx, Xm, Xl, params, stats, opt_state,
+                       what="fwdbwd")
+        elif m == "nogather":
+            bench_step(module, tx, Xm, Xl, params, stats, opt_state,
+                       gather=False)
+        elif m == "train":
+            bench_train(module, tx, Xm, Xl, params, stats, opt_state)
+        else:
+            log(f"unknown mode {m}")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ import time
 from pathlib import Path
 
 from .core.config import load_config
+from .utils import profiling
 from .utils.logging import get_logger
 
 log = get_logger("cli")
@@ -90,6 +91,11 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--max-streamlines", type=int, default=100)
     p.add_argument("--num-samples", type=int, default=2000)
+    p.add_argument("--with-vae", action="store_true",
+                   help="also train the (tract x timepoint) VAE fleet "
+                        "(run_vae_cohort) as part of the pipeline")
+    p.add_argument("--epochs", type=int, default=40,
+                   help="VAE epochs when --with-vae is set")
 
     p = sub.add_parser("synth", help="generate a synthetic cohort")
     _add_common(p)
@@ -162,6 +168,11 @@ def main(argv=None) -> int:
         les_dir = out_root / "lesion_sh_heme_comprehensive"
         run_lesion_analysis(config, data_dir, les_dir,
                             num_samples=args.num_samples, seed=args.seed)
+        if args.with_vae:
+            from .pipeline.vae_run import run_vae_cohort
+            run_vae_cohort(list(config.geometry_tracts), epochs=args.epochs,
+                           config=config, base_path=base,
+                           output_dir=out_root / "vae_cohort", seed=args.seed)
         run_classification(geo_dir / "comprehensive_tract_geometry_metrics.csv",
                            out_root / "tbi_pte_classification")
         run_correlation(les_dir / "lesion_sh_heme_comprehensive.csv",
@@ -175,6 +186,16 @@ def main(argv=None) -> int:
                         volume_shape=(args.volume,) * 3)
 
     log.info("stage %s done in %.2fs", args.stage, time.perf_counter() - t0)
+
+    # per-stage wall-clock table (utils/profiling records every pipeline
+    # stage; SURVEY.md §5.1 — timing is first-class because the headline
+    # metric is full-cohort wall-clock)
+    rep = profiling.report()
+    if rep:
+        width = max(len(k) for k in rep)
+        print("\n== stage wall-clock ==")
+        for name, dt in rep.items():
+            print(f"  {name:<{width}}  {dt:8.2f}s")
     return 0
 
 

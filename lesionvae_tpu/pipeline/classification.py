@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..utils.logging import get_logger
+from ..utils.profiling import stage
 
 log = get_logger("classify")
 
@@ -186,27 +187,29 @@ def run_classification(data_path: str | Path,
                                     plot_top_predictors)
 
     all_results = {}
-    for tp in TIMEPOINTS:
-        df_subj = aggregate_features_per_subject(df, tp, feature_cols)
-        if df_subj.empty or df_subj["group_binary"].nunique() < 2:
-            log.warning("timepoint %s lacks both classes — skipped", tp)
-            continue
-        log.info("timepoint %s: %d subjects", tp, len(df_subj))
-        X = df_subj[feature_cols].values
-        y = df_subj["group_binary"].values
-        results, _ = train_models_with_cv(X, y)
-        all_results[tp] = results
+    with stage("classify.cv"):
+        for tp in TIMEPOINTS:
+            df_subj = aggregate_features_per_subject(df, tp, feature_cols)
+            if df_subj.empty or df_subj["group_binary"].nunique() < 2:
+                log.warning("timepoint %s lacks both classes — skipped", tp)
+                continue
+            log.info("timepoint %s: %d subjects", tp, len(df_subj))
+            X = df_subj[feature_cols].values
+            y = df_subj["group_binary"].values
+            results, _ = train_models_with_cv(X, y)
+            all_results[tp] = results
 
-        if make_plots:
-            plot_classification_results(results, tp, output_dir)
-            imp = results["Random Forest"]["feature_importance"]
-            if imp is not None:
-                top = plot_top_predictors(imp, feature_cols, tp, output_dir)
-                plot_top_predictor_boxplots(df, tp, top, output_dir)
+            if make_plots:
+                plot_classification_results(results, tp, output_dir)
+                imp = results["Random Forest"]["feature_importance"]
+                if imp is not None:
+                    top = plot_top_predictors(imp, feature_cols, tp, output_dir)
+                    plot_top_predictor_boxplots(df, tp, top, output_dir)
 
-    if make_plots and len(df):
-        plot_temporal_trends(df, feature_cols, TIMEPOINTS, output_dir)
-    analyze_centroid_displacement(df, output_dir)
+    with stage("classify.displacement"):
+        if make_plots and len(df):
+            plot_temporal_trends(df, feature_cols, TIMEPOINTS, output_dir)
+        analyze_centroid_displacement(df, output_dir)
 
     summary_rows = []
     for tp, results in all_results.items():

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 
 from ..utils.logging import get_logger
+from ..utils.profiling import stage
 
 log = get_logger("correlate")
 
@@ -159,14 +160,16 @@ def run_correlation(lesion_csv: str | Path, tract_csv: str | Path,
                     make_plots: bool = True) -> pd.DataFrame:
     """Full correlation stage (reference main(): 476-507)."""
     output_dir = Path(output_dir)
-    df_lesion, df_tract = load_data(lesion_csv, tract_csv)
-    df_merged = merge_lesion_tract_data(df_lesion, df_tract)
-    if df_merged.empty:
-        log.warning("empty merged dataset — nothing to correlate")
-        return pd.DataFrame()
-    df_sig = analyze_correlations(df_merged, output_dir, make_plots=make_plots)
-    if len(df_sig) and make_plots:
-        from ..viz.correlation_viz import create_summary_heatmap
-        create_summary_heatmap(df_sig, output_dir)
-    create_summary_report(df_sig)
+    with stage("correlate"):
+        df_lesion, df_tract = load_data(lesion_csv, tract_csv)
+        df_merged = merge_lesion_tract_data(df_lesion, df_tract)
+        if df_merged.empty:
+            log.warning("empty merged dataset — nothing to correlate")
+            return pd.DataFrame()
+        df_sig = analyze_correlations(df_merged, output_dir,
+                                      make_plots=make_plots)
+        if len(df_sig) and make_plots:
+            from ..viz.correlation_viz import create_summary_heatmap
+            create_summary_heatmap(df_sig, output_dir)
+        create_summary_report(df_sig)
     return df_sig

@@ -14,7 +14,7 @@ byte-for-byte in column names and order:
 
 from __future__ import annotations
 
-import time
+import os
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -29,6 +29,7 @@ from ..ops.geometry import (METRIC_NAMES, bundle_summary,
                             streamline_metrics_stacked, unstack_metrics)
 from ..ops.padding import pad_streamlines
 from ..utils.logging import get_logger
+from ..utils.profiling import stage
 
 log = get_logger("geometry")
 
@@ -185,9 +186,7 @@ def process_all_tracts(config: Config, data_dir: Path,
     timepoints = list(config.timepoints)
     tracts = list(config.geometry_tracts)
 
-    meta: List[Dict[str, str]] = []
-    bundles: List[List[np.ndarray]] = []
-    t0 = time.perf_counter()
+    tasks: List[Tuple[Dict[str, str], Path]] = []
     for group, subjects in subjects_by_group.items():
         for subject_id in sorted(subjects):
             for timepoint in timepoints:
@@ -197,27 +196,46 @@ def process_all_tracts(config: Config, data_dir: Path,
                         log.warning("tract file not found: %s/%s/%s",
                                     subject_id, timepoint, tract)
                         continue
-                    try:
-                        sls = read_streamlines(path, max_streamlines=max_streamlines)
-                    except Exception as e:  # corrupt file → skip, don't abort
-                        log.error("failed to read %s: %s", path, e)
-                        continue
-                    if not sls:
-                        log.warning("no streamlines in %s", path)
-                        continue
-                    bundles.append(sls)
-                    meta.append(dict(subject_id=subject_id, timepoint=timepoint,
-                                     tract=tract, group=group))
-    t_read = time.perf_counter() - t0
-    log.info("read %d bundles in %.2fs", len(bundles), t_read)
+                    tasks.append((dict(subject_id=subject_id,
+                                       timepoint=timepoint, tract=tract,
+                                       group=group), path))
+
+    def _read(path: Path):
+        try:
+            return read_streamlines(path, max_streamlines=max_streamlines)
+        except Exception as e:  # corrupt file → skip, don't abort
+            log.error("failed to read %s: %s", path, e)
+            return None
+
+    meta: List[Dict[str, str]] = []
+    bundles: List[List[np.ndarray]] = []
+    with stage("geometry.read"):
+        # gzip inflate and the native parser both release the GIL, so a
+        # thread pool overlaps decompression with parsing (and with any
+        # in-flight device work) even though each item is CPU-bound
+        from concurrent.futures import ThreadPoolExecutor
+        workers = min(8, 2 * (os.cpu_count() or 1))
+        if workers > 1 and len(tasks) > 8:
+            with ThreadPoolExecutor(workers) as ex:
+                results = list(ex.map(_read, [p for _, p in tasks]))
+        else:
+            results = [_read(p) for _, p in tasks]
+        for (m, path), sls in zip(tasks, results):
+            if sls is None:
+                continue
+            if not sls:
+                log.warning("no streamlines in %s", path)
+                continue
+            bundles.append(sls)
+            meta.append(m)
+    log.info("read %d bundles", len(bundles))
 
     if not bundles:
         return pd.DataFrame()
 
-    t0 = time.perf_counter()
-    summaries = batched_bundle_metrics(bundles, dtype=dtype)
-    log.info("computed %d bundle summaries in %.2fs",
-             len(summaries), time.perf_counter() - t0)
+    with stage("geometry.compute"):
+        summaries = batched_bundle_metrics(bundles, dtype=dtype)
+    log.info("computed %d bundle summaries", len(summaries))
 
     rows = []
     for summ, m in zip(summaries, meta):
@@ -291,14 +309,18 @@ def run_geometry(config: Optional[Config] = None,
                   else base / "results" / "comprehensive_tract_geometry")
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    results_df = process_all_tracts(config, data_dir,
-                                    max_streamlines=max_streamlines, dtype=dtype)
-    if len(results_df) == 0:
-        log.error("no tracts successfully processed")
-        return results_df
-    results_df.to_csv(output_dir / "comprehensive_tract_geometry_metrics.csv",
-                      index=False)
-    generate_summary_statistics(results_df, output_dir)
+    with stage("geometry"):
+        results_df = process_all_tracts(config, data_dir,
+                                        max_streamlines=max_streamlines,
+                                        dtype=dtype)
+        if len(results_df) == 0:
+            log.error("no tracts successfully processed")
+            return results_df
+        with stage("geometry.write"):
+            results_df.to_csv(
+                output_dir / "comprehensive_tract_geometry_metrics.csv",
+                index=False)
+            generate_summary_statistics(results_df, output_dir)
     log.info("geometry stage complete: %d records -> %s",
              len(results_df), output_dir)
     return results_df

@@ -31,6 +31,7 @@ from ..ops.padding import pad_batch
 from ..ops.sh import (cached_basis, sample_radii, sh_fit_batch_packed,
                       unpack_sh_fit)
 from ..utils.logging import get_logger
+from ..utils.profiling import stage
 
 log = get_logger("lesion")
 
@@ -246,29 +247,34 @@ def analyze_all_lesions(config: Config, data_dir: Path,
     pending: List[Tuple[int, _PreparedLesion]] = []  # (row index, prepared)
     rng = np.random.default_rng(seed) if seed is not None else None
 
-    for subject_id in all_subjects:
-        for timepoint in timepoints:
-            brain_volume = vol.compute_brain_volume(subject_id, timepoint, data_dir)
-            lesion_path = (data_dir / subject_id / timepoint
-                           / "lesion_cleaned.nii.gz")
-            p, reason = prepare_lesion(lesion_path, num_samples, rng=rng)
-            if p is None and strict:
-                log.info("skip %s@%s (%s)", subject_id, timepoint, reason)
-                continue
-            result = _base_result(subject_id, timepoint, brain_volume, max_l,
-                                  interleaved=not strict)
-            if p is not None:
-                pending.append((len(rows), p))
-            result["_brain_volume"] = brain_volume
-            result["group"] = group_mapping[subject_id]
-            if with_heme:
-                heme = vol.compute_heme_content(subject_id, timepoint, data_dir)
-                result.update(heme if heme is not None else {
-                    k: np.nan for k in vol.HEME_ZERO})
-            rows.append(result)
+    with stage("lesion.prepare"):
+        for subject_id in all_subjects:
+            for timepoint in timepoints:
+                brain_volume = vol.compute_brain_volume(subject_id, timepoint,
+                                                        data_dir)
+                lesion_path = (data_dir / subject_id / timepoint
+                               / "lesion_cleaned.nii.gz")
+                p, reason = prepare_lesion(lesion_path, num_samples, rng=rng)
+                if p is None and strict:
+                    log.info("skip %s@%s (%s)", subject_id, timepoint, reason)
+                    continue
+                result = _base_result(subject_id, timepoint, brain_volume,
+                                      max_l, interleaved=not strict)
+                if p is not None:
+                    pending.append((len(rows), p))
+                result["_brain_volume"] = brain_volume
+                result["group"] = group_mapping[subject_id]
+                if with_heme:
+                    heme = vol.compute_heme_content(subject_id, timepoint,
+                                                    data_dir)
+                    result.update(heme if heme is not None else {
+                        k: np.nan for k in vol.HEME_ZERO})
+                rows.append(result)
 
     # one fused device batch for every real lesion in the cohort
-    sh_results = _sh_device_batch([p for _, p in pending], max_l, num_samples)
+    with stage("lesion.sh_batch"):
+        sh_results = _sh_device_batch([p for _, p in pending], max_l,
+                                      num_samples)
     for (idx, p), sh in zip(pending, sh_results):
         _fill_sh_fields(rows[idx], p, sh, rows[idx]["_brain_volume"], max_l,
                         strict)
@@ -297,11 +303,13 @@ def run_lesion_analysis(config: Optional[Config] = None,
                   else base / "results" / "lesion_sh_heme_comprehensive")
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    df = analyze_all_lesions(config, data_dir, max_l=max_l,
-                             num_samples=num_samples, strict=False,
-                             with_heme=True, seed=seed)
-    if len(df):
-        df.to_csv(output_dir / "lesion_sh_heme_comprehensive.csv", index=False)
+    with stage("lesion"):
+        df = analyze_all_lesions(config, data_dir, max_l=max_l,
+                                 num_samples=num_samples, strict=False,
+                                 with_heme=True, seed=seed)
+        if len(df):
+            df.to_csv(output_dir / "lesion_sh_heme_comprehensive.csv",
+                      index=False)
     return df
 
 
@@ -320,10 +328,11 @@ def run_lesion_shape_descriptors(config: Optional[Config] = None,
                   else base / "results" / "lesion_sh_descriptors_cleaned")
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    df = analyze_all_lesions(
-        config, data_dir, max_l=max_l, num_samples=num_samples, strict=True,
-        with_heme=False, seed=seed,
-        per_lesion_plots_dir=(output_dir / "plots") if make_plots else None)
+    with stage("lesion.strict"):
+        df = analyze_all_lesions(
+            config, data_dir, max_l=max_l, num_samples=num_samples,
+            strict=True, with_heme=False, seed=seed,
+            per_lesion_plots_dir=(output_dir / "plots") if make_plots else None)
     if len(df) == 0:
         log.error("no lesions successfully analyzed")
         return df

@@ -22,9 +22,11 @@ import pandas as pd
 
 from ..core.config import Config, load_config
 from ..train import data as vdata
-from ..train.normative import normative_zscores_fused
+from ..train.normative import (normative_zscores_fleet,
+                               normative_zscores_fused)
 from ..train.trainer import train_lesion_vae
 from ..utils.logging import get_logger
+from ..utils.profiling import stage
 
 log = get_logger("vae")
 
@@ -60,30 +62,34 @@ def run_vae_analysis(tract: str, latent_dim: int = 10, epochs: int = 40,
     for tp in timepoints:
         log.info("=== %s @ %s ===", tract, tp)
         try:
-            Xm, Xl, subj_ids, group_labels, s = \
-                vdata.build_tensor_with_lesion_context(
-                    base_path, tract, tp, subjects,
-                    config.microstructure_features, config.lesion_features,
-                    groups_dict)
+            with stage("vae.tensors"):
+                Xm, Xl, subj_ids, group_labels, s = \
+                    vdata.build_tensor_with_lesion_context(
+                        base_path, tract, tp, subjects,
+                        config.microstructure_features,
+                        config.lesion_features, groups_dict)
         except ValueError as e:
             log.warning("%s", e)
             continue
 
-        stats = vdata.fit_normalization_stats(
-            Xm, Xl, list(config.microstructure_features))
-        Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
+        with stage("vae.normalize"):
+            stats = vdata.fit_normalization_stats(
+                Xm, Xl, list(config.microstructure_features))
+            Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
 
-        model, hist = train_lesion_vae(
-            Xz, Xl, latent_dim=latent_dim, epochs=epochs,
-            batch_size=batch_size, lr=lr, seed=seed, mesh=mesh)
+        with stage("vae.train"):
+            model, hist = train_lesion_vae(
+                Xz, Xl, latent_dim=latent_dim, epochs=epochs,
+                batch_size=batch_size, lr=lr, seed=seed, mesh=mesh)
         hist.to_csv(output_dir / f"training_history_{tp}.csv", index=False)
 
         sham = group_labels == "Sham"
         if not sham.any():
             log.warning("no Sham streamlines at %s — skipping z-scores", tp)
             continue
-        mean_r, std_r, Z, magnitude = normative_zscores_fused(
-            model, Xz, Xl, sham, seed=seed)
+        with stage("vae.normative"):
+            mean_r, std_r, Z, magnitude = normative_zscores_fused(
+                model, Xz, Xl, sham, seed=seed)
 
         mu, _, _ = model.encode(Xz, Xl)
         mu = np.asarray(mu)
@@ -114,24 +120,33 @@ def run_vae_analysis(tract: str, latent_dim: int = 10, epochs: int = 40,
         groups_by_tp[tp] = subj_ids  # per-streamline subject ids for grouping
 
     if make_plots and bundle_profiles:
-        from ..viz.vae_viz import (plot_latent_space_with_lesion_context,
-                                   plot_lesion_aware_deviation_profiles,
-                                   plot_lesion_impact_analysis)
-        for tp in bundle_profiles:
-            plot_lesion_aware_deviation_profiles(
-                bundle_profiles, lesion_profiles, group_mappings, tp,
-                output_dir / f"deviation_profiles_{tp}.png")
-            plot_lesion_impact_analysis(
-                bundle_profiles, lesion_profiles, group_mappings, tp,
-                output_dir / f"lesion_impact_{tp}.png")
-            plot_latent_space_with_lesion_context(
-                latents_by_tp, burden_by_tp, groups_by_tp,
-                {tp2: results[tp2]["group_labels"] for tp2 in results}, tp,
-                output_dir / f"latent_space_{tp}.png")
+        with stage("vae.figures"):
+            _make_vae_figures(bundle_profiles, lesion_profiles, group_mappings,
+                              latents_by_tp, burden_by_tp, groups_by_tp,
+                              results, output_dir)
 
     log.info("VAE analysis complete for %s: %d timepoints → %s",
              tract, len(results), output_dir)
     return results
+
+
+def _make_vae_figures(bundle_profiles, lesion_profiles, group_mappings,
+                      latents_by_tp, burden_by_tp, groups_by_tp, results,
+                      output_dir):
+    from ..viz.vae_viz import (plot_latent_space_with_lesion_context,
+                               plot_lesion_aware_deviation_profiles,
+                               plot_lesion_impact_analysis)
+    for tp in bundle_profiles:
+        plot_lesion_aware_deviation_profiles(
+            bundle_profiles, lesion_profiles, group_mappings, tp,
+            output_dir / f"deviation_profiles_{tp}.png")
+        plot_lesion_impact_analysis(
+            bundle_profiles, lesion_profiles, group_mappings, tp,
+            output_dir / f"lesion_impact_{tp}.png")
+        plot_latent_space_with_lesion_context(
+            latents_by_tp, burden_by_tp, groups_by_tp,
+            {tp2: results[tp2]["group_labels"] for tp2 in results}, tp,
+            output_dir / f"latent_space_{tp}.png")
 
 
 def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
@@ -162,53 +177,65 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
     subjects = [s for subs in groups_dict.values() for s in subs]
 
     keys, tensors, meta = [], [], []
-    for tract in tracts:
-        for tp in timepoints:
-            try:
-                Xm, Xl, subj_ids, group_labels, _s = \
-                    vdata.build_tensor_with_lesion_context(
-                        base_path, tract, tp, subjects,
-                        config.microstructure_features,
-                        config.lesion_features, groups_dict)
-            except ValueError as e:
-                log.warning("%s", e)
-                continue
-            stats = vdata.fit_normalization_stats(
-                Xm, Xl, list(config.microstructure_features))
-            Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
-            keys.append((tract, tp))
-            tensors.append((Xz, Xl))
-            meta.append((subj_ids, group_labels))
+    with stage("vae_cohort.tensors"):
+        for tract in tracts:
+            for tp in timepoints:
+                try:
+                    Xm, Xl, subj_ids, group_labels, _s = \
+                        vdata.build_tensor_with_lesion_context(
+                            base_path, tract, tp, subjects,
+                            config.microstructure_features,
+                            config.lesion_features, groups_dict)
+                except ValueError as e:
+                    log.warning("%s", e)
+                    continue
+                stats = vdata.fit_normalization_stats(
+                    Xm, Xl, list(config.microstructure_features))
+                Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
+                keys.append((tract, tp))
+                tensors.append((Xz, Xl))
+                meta.append((subj_ids, group_labels))
 
     if not tensors:
         log.error("no datasets for the VAE cohort")
         return {}
 
-    Xm_all, Xl_all, n_real = pad_datasets(tensors, batch_size=batch_size)
-    fetch = launch_many_vaes(Xm_all, Xl_all, n_real, latent_dim=latent_dim,
-                             epochs=epochs, batch_size=batch_size, lr=lr,
-                             seed=seed)
-    models, hist = fetch()
+    with stage("vae_cohort.train"):
+        Xm_all, Xl_all, n_real = pad_datasets(tensors, batch_size=batch_size)
+        handle = launch_many_vaes(Xm_all, Xl_all, n_real,
+                                  latent_dim=latent_dim, epochs=epochs,
+                                  batch_size=batch_size, lr=lr, seed=seed)
+        models, hist = handle.fetch()
+
+    # normative z-scores for ALL members in one vmapped device program
+    # (the per-member loop would jit up to T shape-distinct programs)
+    with stage("vae_cohort.normative"):
+        n_pad = Xm_all.shape[1]
+        sham_T = np.zeros((len(keys), n_pad), np.float32)
+        for i, (subj_ids, group_labels) in enumerate(meta):
+            sham_T[i, :n_real[i]] = (group_labels == "Sham")
+        mean_T, std_T, Z_T, mag_T = normative_zscores_fleet(
+            handle.module, handle.params_T, handle.stats_T,
+            Xm_all, Xl_all, sham_T, seed=seed)
 
     results: Dict[tuple, dict] = {}
     for i, key in enumerate(keys):
         tract, tp = key
-        Xz_i, Xl_i = tensors[i]
         subj_ids, group_labels = meta[i]
+        n_i = int(n_real[i])
         hist_df = pd.DataFrame(hist[i], columns=["loss", "recon", "kld",
                                                  "beta"])
         hist_df.to_csv(output_dir / f"training_history_{tract}_{tp}.csv",
                        index=False)
-        sham = group_labels == "Sham"
         entry = dict(model=models[i], history=hist_df, subj_ids=subj_ids,
                      group_labels=group_labels)
-        if sham.any():
-            mean_r, std_r, Z, magnitude = normative_zscores_fused(
-                models[i], Xz_i, Xl_i, sham, seed=seed)
+        if sham_T[i].any():
+            Z, magnitude = Z_T[i, :n_i], mag_T[i, :n_i]
             np.savez_compressed(
                 output_dir / f"zscores_{tract}_{tp}.npz", Z=Z,
                 magnitude=magnitude, subj_ids=subj_ids,
-                group_labels=group_labels, norm_mean=mean_r, norm_std=std_r)
+                group_labels=group_labels, norm_mean=mean_T[i],
+                norm_std=std_T[i])
             entry.update(Z=Z, magnitude=magnitude)
         results[key] = entry
 

@@ -125,19 +125,50 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
     return jax.jit(jax.vmap(train_one)), module, n_batches
 
 
+class FleetHandle:
+    """Handle to an in-flight fleet training launch.
+
+    Calling it (or ``.fetch()``) blocks on the device futures and returns
+    ``(list of TrainedVAE, (T, epochs, 4) history array)``.  The stacked
+    ``params_T`` / ``stats_T`` device pytrees stay accessible so fleet-wide
+    consumers (``train.normative.normative_zscores_fleet``) can run vmapped
+    programs without re-stacking per-member slices.
+    """
+
+    def __init__(self, module, params_T, stats_T, hist_T, epochs, n_batches):
+        self.module = module
+        self.params_T = params_T
+        self.stats_T = stats_T
+        self.hist_T = hist_T
+        self._epochs = epochs
+        self._n_batches = n_batches
+
+    def fetch(self):
+        hist = np.asarray(self.hist_T)
+        T = hist.shape[0]
+        models = []
+        for i in range(T):
+            p_i = jax.tree.map(lambda a, i=i: a[i], self.params_T)
+            s_i = jax.tree.map(lambda a, i=i: a[i], self.stats_T)
+            models.append(TrainedVAE(self.module, p_i, s_i))
+        log.info("trained %d VAEs concurrently (%d epochs, %d batches/epoch)",
+                 T, self._epochs, self._n_batches)
+        return models, hist
+
+    __call__ = fetch
+
+
 def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      latent_dim: int = 10, epochs: int = 40,
                      batch_size: int = 64, lr: float = 2e-4,
                      weight_decay: float = 1e-3, grad_clip: float = 2.0,
-                     seed: int = 42, compute_dtype=None):
-    """Enqueue training of T VAEs concurrently; returns a fetch() callable.
+                     seed: int = 42, compute_dtype=None) -> FleetHandle:
+    """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
       Xm: (T, n_pad, L, Cm) padded microstructure tensors (pad rows zero).
       Xl: (T, n_pad, L, Cl) lesion tensors.
       n_real: (T,) real row counts per VAE.
-    Returns:
-      fetch: () -> (list of TrainedVAE, (T, epochs, 4) history array).
     """
     T, n_pad, seq_len, micro_ch = Xm.shape
     lesion_ch = Xl.shape[3]
@@ -158,19 +189,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
     params_T, stats_T, hist_T = program(Xm_j, Xl_j, n_j, keys)
-
-    def fetch():
-        hist = np.asarray(hist_T)
-        models = []
-        for i in range(T):
-            p_i = jax.tree.map(lambda a, i=i: a[i], params_T)
-            s_i = jax.tree.map(lambda a, i=i: a[i], stats_T)
-            models.append(TrainedVAE(module, p_i, s_i))
-        log.info("trained %d VAEs concurrently (%d epochs, %d batches/epoch)",
-                 T, epochs, n_batches)
-        return models, hist
-
-    return fetch
+    return FleetHandle(module, params_T, stats_T, hist_T, epochs, n_batches)
 
 
 def train_many_vaes(Xm, Xl, n_real, **kwargs):

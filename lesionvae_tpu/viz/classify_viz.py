@@ -17,9 +17,10 @@ import matplotlib.pyplot as plt  # noqa: E402
 import seaborn as sns  # noqa: E402
 
 from ..utils.logging import get_logger  # noqa: E402
+from .style import DPI, apply_style  # noqa: E402
 
 log = get_logger("classify_viz")
-DPI = 150
+apply_style()
 TP_ORDER = {"2d": 0, "9d": 1, "1mo": 2, "5mo": 3}
 GROUP_COLOR = {"TBI": "coral", "PTE": "steelblue"}
 

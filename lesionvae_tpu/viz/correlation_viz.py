@@ -15,9 +15,10 @@ import matplotlib.pyplot as plt  # noqa: E402
 import seaborn as sns  # noqa: E402
 
 from ..utils.logging import get_logger  # noqa: E402
+from .style import DPI, apply_style  # noqa: E402
 
 log = get_logger("correlation_viz")
-DPI = 150
+apply_style()
 
 
 def plot_correlation_scatter(df: pd.DataFrame, sh_feat: str, tract_feat: str,

@@ -18,10 +18,10 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 from ..utils.logging import get_logger  # noqa: E402
+from .style import DPI, apply_style  # noqa: E402
 
 log = get_logger("lesion_viz")
-
-DPI = 150  # reference uses 300 (visualization conventions, SURVEY.md §5.5)
+apply_style()
 
 
 def plot_3d_surface_comparison(surface_coords: np.ndarray,

@@ -16,11 +16,12 @@ import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.patches import Patch  # noqa: E402
 
 from ..utils.logging import get_logger  # noqa: E402
+from .style import DPI, apply_style  # noqa: E402
 
 log = get_logger("vae_viz")
+apply_style()
 
 GROUP_COLORS = {"Sham": "#2E8B57", "TBI": "#4169E1", "PTE": "#DC143C"}
-DPI = 150
 
 
 def plot_lesion_aware_deviation_profiles(bundle_profiles, lesion_profiles,

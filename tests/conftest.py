@@ -7,6 +7,9 @@ XLA host-platform device count BEFORE jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when axon/TPU is attached
+# low-dpi figures: production renders at the reference's 300 dpi convention
+# (viz/style.py); tests only check artifact existence/content, not resolution
+os.environ.setdefault("LESIONVAE_DPI", "72")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -56,6 +56,7 @@ def _synth_lesion_csv(path: Path, geometry_df: pd.DataFrame, seed=1):
     return df
 
 
+@pytest.mark.slow  # 3 models x 10-fold CV x 4 timepoints on one core
 def test_classification_stage(tmp_path):
     csv = tmp_path / "geom.csv"
     _synth_geometry_csv(csv)

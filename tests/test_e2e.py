@@ -12,6 +12,8 @@ from lesionvae_tpu import cli
 from lesionvae_tpu.io import synth
 from lesionvae_tpu.io.synth import tiny_config
 
+pytestmark = pytest.mark.slow  # full-matrix run: pytest -m slow
+
 
 @pytest.fixture(scope="module")
 def cohort(tmp_path_factory):
@@ -27,10 +29,13 @@ def cohort(tmp_path_factory):
     return root, cfg_path
 
 
-def test_cli_full_pipeline(cohort):
+def test_cli_full_pipeline(cohort, capsys):
     root, cfg_path = cohort
+    from lesionvae_tpu.utils import profiling
+    profiling.reset()
     assert cli.main(["all", "--config", str(cfg_path),
-                     "--num-samples", "400"]) == 0
+                     "--num-samples", "400",
+                     "--with-vae", "--epochs", "2"]) == 0
     res = root / "results"
     geo = pd.read_csv(res / "comprehensive_tract_geometry"
                       / "comprehensive_tract_geometry_metrics.csv")
@@ -41,6 +46,18 @@ def test_cli_full_pipeline(cohort):
     assert (res / "tbi_pte_classification"
             / "classification_summary.csv").exists()
     assert (res / "lesion_tract_correlations").exists()
+    # --with-vae runs the fleet as part of the one-command pipeline
+    assert (res / "vae_cohort"
+            / "training_history_atr_left_9d.csv").exists()
+
+    # profiling is wired into every stage and the CLI prints the table
+    rep = profiling.report()
+    for key in ("geometry", "geometry.read", "geometry.compute", "lesion",
+                "lesion.sh_batch", "vae_cohort.train",
+                "vae_cohort.normative", "classify.cv", "correlate"):
+        assert key in rep, f"missing profiling stage {key}"
+    out = capsys.readouterr().out
+    assert "stage wall-clock" in out and "geometry.read" in out
 
 
 def test_run_vae_analysis_small(cohort):

@@ -31,9 +31,16 @@ EXPECTED_COLS = [
 
 def test_run_geometry_csv_schema(cohort, tmp_path):
     cfg, root = cohort
+    from lesionvae_tpu.utils import profiling
+    profiling.reset()
     df = geometry_run.run_geometry(cfg, data_dir=root / "data",
                                    output_dir=tmp_path, max_streamlines=100,
                                    dtype=jnp.float64)
+    # profiling is wired into the pipeline (SURVEY.md §5.1)
+    rep = profiling.report()
+    for key in ("geometry", "geometry.read", "geometry.compute",
+                "geometry.write"):
+        assert key in rep and rep[key] >= 0.0
     # 3 subjects x 4 timepoints x 2 tracts
     assert len(df) == 3 * 4 * 2
     assert list(df.columns) == EXPECTED_COLS

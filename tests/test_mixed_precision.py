@@ -6,6 +6,10 @@ import jax.numpy as jnp
 
 from lesionvae_tpu.train.batched import train_many_vaes
 
+import pytest  # noqa: F811
+
+pytestmark = pytest.mark.slow  # full-matrix run: pytest -m slow
+
 
 def _data(T=2, n_pad=64, L=32, Cm=5, Cl=3, seed=0):
     rng = np.random.default_rng(seed)

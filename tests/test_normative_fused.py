@@ -39,3 +39,39 @@ def test_fused_matches_two_pass():
     # different key-alignment ⇒ different noise, but the distributions must
     # agree closely (noise std is small relative to signal here)
     np.testing.assert_allclose(mean_r, mean_f, atol=0.5)
+
+
+def test_fleet_normative_matches_per_member():
+    """The ONE vmapped fleet program == normative_zscores_fused per member on
+    the same padded blocks (VERDICT r1: batch z-scores across the fleet)."""
+    from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
+    from lesionvae_tpu.train.normative import normative_zscores_fleet
+    from lesionvae_tpu.train.trainer import TrainedVAE
+
+    rng = np.random.default_rng(1)
+    tensors = [
+        (rng.normal(size=(40, 16, 3)).astype(np.float32),
+         rng.uniform(size=(40, 16, 2)).astype(np.float32)),
+        (rng.normal(size=(25, 16, 3)).astype(np.float32),
+         rng.uniform(size=(25, 16, 2)).astype(np.float32)),
+    ]
+    Xm_T, Xl_T, n_real = pad_datasets(tensors, batch_size=16)
+    handle = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                              batch_size=16, seed=3)
+    models, _hist = handle.fetch()
+
+    n_pad = Xm_T.shape[1]
+    sham_T = np.zeros((2, n_pad), np.float32)
+    sham_T[0, :15] = 1.0
+    sham_T[1, :10] = 1.0
+    mean_T, std_T, Z_T, mag_T = normative_zscores_fleet(
+        handle.module, handle.params_T, handle.stats_T, Xm_T, Xl_T, sham_T,
+        seed=7)
+
+    for i, model in enumerate(models):
+        mean_i, std_i, Z_i, mag_i = normative_zscores_fused(
+            model, Xm_T[i], Xl_T[i], sham_T[i].astype(bool), seed=7)
+        np.testing.assert_allclose(mean_T[i], mean_i, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(std_T[i], std_i, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(Z_T[i], Z_i, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(mag_T[i], mag_i, rtol=1e-4, atol=1e-5)

@@ -41,7 +41,8 @@ def test_pad_to_multiple():
     assert padded.shape == (16, 3) and n == 13
 
 
-@pytest.mark.parametrize("n_devices,mp", [(8, 2), (4, 1), (2, 2)])
+@pytest.mark.parametrize("n_devices,mp", [
+    pytest.param(8, 2, marks=pytest.mark.slow), (4, 1), (2, 2)])
 def test_dryrun_multichip_train_step(n_devices, mp):
     loss, delta = dryrun_train_step(n_devices, model_parallel=mp)
     assert np.isfinite(loss)

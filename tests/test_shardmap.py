@@ -51,6 +51,7 @@ def _single_device_step(module, variables, tx, opt_state, xm, xl, mask, eps,
     return optax.apply_updates(variables["params"], updates), loss
 
 
+@pytest.mark.slow
 def test_shardmap_step_matches_single_device():
     mesh = make_mesh(8)
     module, variables, xm, xl, mask, eps = _setup()
@@ -80,6 +81,7 @@ def test_shardmap_step_matches_single_device():
         )[1]["batch_stats"]["micro_b1"]["mean"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_shardmap_multiple_steps_converge():
     mesh = make_mesh(4)
     module, variables, xm, xl, mask, eps = _setup(batch=32, seed=1)
@@ -103,6 +105,7 @@ def test_dryrun_shardmap_matches_single_device():
     np.testing.assert_allclose(loss_sm, loss_ref, rtol=1e-5)
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip separately every round
 def test_graft_entry_dryrun_inline():
     """The driver-facing dryrun must pass inline on the fake 8-device mesh
     (and bootstrap a subprocess on hosts with fewer devices)."""
