@@ -32,6 +32,9 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lesionvae")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin ignores the env var; the config API wins
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from lesionvae_tpu.models.elbo import elbo
 from lesionvae_tpu.models.lesion_vae import LesionConditionedVAE
@@ -153,6 +156,66 @@ def bench_train(module, tx, Xm, Xl, params, stats, opt_state):
         f"compile {warm:.1f}s)")
 
 
+def bench_scan(module, tx, Xm, Xl, params, stats, opt_state, *, what="full",
+               n_steps=int(os.environ.get("FLEET_STEPS", "30")), unroll=1):
+    """Time the step INSIDE a lax.scan (the production structure) with
+    increasing amounts of the real body, to localize the scan slowdown."""
+    loss_fn = make_loss(module)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_one(Xm_i, Xl_i, p, s, o, key):
+        def body(carry, inputs):
+            p, s, o = carry
+            b, rng = inputs
+            perm = jax.random.permutation(rng, N_PAD)
+            idx = jax.lax.dynamic_slice_in_dim(perm, 0, BATCH)
+            xb_m = jnp.take(Xm_i, idx, axis=0)
+            xb_l = jnp.take(Xl_i, idx, axis=0)
+            mask = jnp.ones(BATCH, jnp.float32)
+            if what == "carry":
+                return (p, s, o), jnp.sum(xb_m)
+            if what == "fwd":
+                loss, (recon, kld, new_s) = loss_fn(p, s, xb_m, xb_l, mask,
+                                                    rng, 1.0)
+                return (p, new_s, o), loss
+            (loss, (recon, kld, new_s)), grads = grad_fn(
+                p, s, xb_m, xb_l, mask, rng, 1.0)
+            if what == "fwdbwd":
+                gsum = jax.tree.reduce(
+                    lambda a, g: a + jnp.sum(g), grads, 0.0)
+                return (p, new_s, o), loss + gsum
+            updates, new_o = tx.update(grads, o, p)
+            new_p = jax.tree.map(lambda a, u: a + u, p, updates)
+            if what == "noselect":
+                return (new_p, new_s, new_o), loss
+            finite = jnp.isfinite(loss)
+            new_p = jax.tree.map(lambda a, c: jnp.where(finite, c, a), p,
+                                 new_p)
+            new_o = jax.tree.map(lambda a, c: jnp.where(finite, c, a), o,
+                                 new_o)
+            return (new_p, new_s, new_o), loss
+
+        rngs = jax.random.split(key, n_steps)
+        (p, s, o), losses = jax.lax.scan(
+            body, (p, s, o), (jnp.arange(n_steps), rngs), unroll=unroll)
+        # consume every iteration's output so no iteration can be DCE'd
+        return jnp.sum(losses)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), T)
+    run = jax.jit(jax.vmap(train_one))
+    for _ in range(1):
+        out = run(Xm, Xl, params, stats, opt_state, keys)
+    jax.block_until_ready(out)
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(Xm, Xl, params, stats, opt_state, keys)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    log(f"[scan-{what} u{unroll}] {dt / n_steps * 1e3:.2f} ms/fleet-step "
+        f"({n_steps} steps, {T * n_steps / dt:.0f} member-steps/s)")
+
+
 def main():
     modes = sys.argv[1:] or ["step"]
     log(f"devices: {jax.devices()}  T={T} n_pad={N_PAD} L={L} "
@@ -172,6 +235,19 @@ def main():
                        gather=False)
         elif m == "train":
             bench_train(module, tx, Xm, Xl, params, stats, opt_state)
+        elif m.startswith("scan"):
+            # scan, scan-carry, scan-fwd, scan-fwdbwd, scan-noselect,
+            # optional trailing :unroll e.g. scan:4
+            what = "full"
+            unroll = 1
+            rest = m[4:]
+            if ":" in rest:
+                rest, u = rest.rsplit(":", 1)
+                unroll = int(u)
+            if rest.startswith("-"):
+                what = rest[1:]
+            bench_scan(module, tx, Xm, Xl, params, stats, opt_state,
+                       what=what, unroll=unroll)
         else:
             log(f"unknown mode {m}")
 

@@ -211,10 +211,13 @@ def process_all_tracts(config: Config, data_dir: Path,
     bundles: List[List[np.ndarray]] = []
     with stage("geometry.read"):
         # gzip inflate and the native parser both release the GIL, so a
-        # thread pool overlaps decompression with parsing (and with any
-        # in-flight device work) even though each item is CPU-bound
+        # thread pool overlaps decompression with parsing on multi-core
+        # hosts; on a 1-core host threads only add contention (measured:
+        # 14 s threaded vs 6-8 s sequential on the bench host) so stay
+        # sequential there
         from concurrent.futures import ThreadPoolExecutor
-        workers = min(8, 2 * (os.cpu_count() or 1))
+        n_cpu = os.cpu_count() or 1
+        workers = min(8, 2 * n_cpu) if n_cpu > 1 else 1
         if workers > 1 and len(tasks) > 8:
             with ThreadPoolExecutor(workers) as ex:
                 results = list(ex.map(_read, [p for _, p in tasks]))

@@ -118,6 +118,14 @@ def fit_normalization_stats(X_micro: np.ndarray, X_lesion: np.ndarray,
     """Per-feature median/mean/std over finite values (normalization.py:8-40)."""
     X = X_micro.reshape(-1, X_micro.shape[-1])
     finite = np.isfinite(X)
+    if finite.all():
+        # fast path (typical: upstream tensor builders already impute):
+        # columnwise stats without per-feature boolean gathers
+        meds = np.median(X, axis=0).astype(np.float32)
+        mus = X.mean(axis=0, dtype=np.float64).astype(np.float32)
+        stds = np.maximum(X.std(axis=0, dtype=np.float64), 1e-6
+                          ).astype(np.float32)
+        return {"median": meds, "mean": mus, "std": stds}
     meds = np.zeros(X.shape[1], np.float32)
     mus = np.zeros(X.shape[1], np.float32)
     stds = np.ones(X.shape[1], np.float32)
@@ -136,13 +144,23 @@ def fit_normalization_stats(X_micro: np.ndarray, X_lesion: np.ndarray,
 def apply_normalization(X_micro: np.ndarray, X_lesion: np.ndarray,
                         stats: Dict[str, np.ndarray]
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Median-impute non-finite, z-score, clamp ±1e6 (normalization.py:43-69)."""
-    Xc = X_micro.copy()
+    """Median-impute non-finite, z-score, clamp ±1e6 (normalization.py:43-69).
+
+    Pass-efficient: one output allocation and in-place arithmetic (the
+    reference chains 4 full-array temporaries; on the 1-core bench host this
+    stage is in the timed window)."""
+    Xz = np.array(X_micro, np.float32, copy=True)
     med = stats["median"][None, None, :]
-    bad = ~np.isfinite(Xc)
+    bad = ~np.isfinite(Xz)
     if bad.any():
-        Xc[bad] = np.broadcast_to(med, Xc.shape)[bad]
-    Xz = (Xc - stats["mean"][None, None, :]) / stats["std"][None, None, :]
-    Xz = np.nan_to_num(Xz, nan=0.0, posinf=1e6, neginf=-1e6).astype(np.float32)
-    X_lesion = np.nan_to_num(X_lesion, nan=0.0).astype(np.float32)
+        Xz[bad] = np.broadcast_to(med, Xz.shape)[bad]
+    Xz -= stats["mean"][None, None, :]
+    Xz /= stats["std"][None, None, :]
+    # post-imputation entries are finite, so the reference's
+    # nan_to_num(nan=0, ±1e6) reduces to the ±1e6 clamp
+    np.clip(Xz, -1e6, 1e6, out=Xz)
+    if np.isfinite(X_lesion).all():
+        X_lesion = np.asarray(X_lesion, np.float32)
+    else:
+        X_lesion = np.nan_to_num(X_lesion, nan=0.0).astype(np.float32)
     return Xz, X_lesion
