@@ -82,9 +82,12 @@ def fast_profile_tensors(root: Path, cfg):
     except ImportError:
         pacsv = None
 
-    tensors = {(t, tp): ([], [], []) for t in tracts for tp in cfg.timepoints}
+    subj_of = {}  # subject id -> dense index (for on-device aggregation)
+    tensors = {(t, tp): ([], [], [], []) for t in tracts
+               for tp in cfg.timepoints}
     for g, sids in groups.items():
         for sid in sids:
+            si = subj_of.setdefault(sid, len(subj_of))
             for tp in cfg.timepoints:
                 fp = (root / "results" / sid / f"timepoint_analysis_{sid}_{tp}"
                       / f"comprehensive_tract_data_{sid}_{tp}.csv")
@@ -134,16 +137,18 @@ def fast_profile_tensors(root: Path, cfg):
                         continue
                     xm = M[s:s + n_sl * 100].reshape(n_sl, 100, -1)
                     xl = Lm[s:s + n_sl * 100].reshape(n_sl, 100, -1)
-                    xm_l, xl_l, sham_l = tensors[(tract, tp)]
+                    xm_l, xl_l, sham_l, subj_l = tensors[(tract, tp)]
                     xm_l.append(xm)
                     xl_l.append(xl)
                     sham_l.append(np.full(n_sl, g == "Sham", bool))
+                    subj_l.append(np.full(n_sl, si, np.int32))
     out = []
-    for key, (xm_list, xl_list, sham_list) in tensors.items():
+    for key, (xm_list, xl_list, sham_list, subj_list) in tensors.items():
         if xm_list:
             out.append((key, np.concatenate(xm_list), np.concatenate(xl_list),
-                        np.concatenate(sham_list)))
-    return out
+                        np.concatenate(sham_list),
+                        np.concatenate(subj_list)))
+    return out, len(subj_of)
 
 
 def warmup_backend():
@@ -198,7 +203,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
     from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
     from lesionvae_tpu.train import data as vdata
-    from lesionvae_tpu.train.normative import normative_zscores_fleet
+    from lesionvae_tpu.train.normative import normative_fleet_summary
 
     out_dir = root / "bench_results"
     epochs = 40 if SCALE == "full" else 5
@@ -219,25 +224,30 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
         Xl = np.load(cache / "Xl.npy", mmap_mode="r")
         n_real = np.load(cache / "n_real.npy")
         sham_T = np.load(cache / "sham_T.npy")
+        subj_T = np.load(cache / "subj_T.npy")
+        n_subj = int(subj_T.max())  # pad segment == n_subj
         exclusions.append("tensor_build_cached")
         log(f"[bench] loaded {len(n_real)} cached VAE datasets")
     else:
-        tensor_list = fast_profile_tensors(root, cfg)
+        tensor_list, n_subj = fast_profile_tensors(root, cfg)
         stats = [vdata.fit_normalization_stats(xm, xl,
                                                cfg.microstructure_features)
-                 for _, xm, xl, _ in tensor_list]
+                 for _, xm, xl, _, _ in tensor_list]
         normed = [vdata.apply_normalization(xm, xl, st)
-                  for (_, xm, xl, _), st in zip(tensor_list, stats)]
+                  for (_, xm, xl, _, _), st in zip(tensor_list, stats)]
         Xm, Xl, n_real = pad_datasets(normed, batch_size=64)
         sham_T = np.zeros(Xm.shape[:2], np.float32)
-        for i, (_, _, _, sham_rows) in enumerate(tensor_list):
+        subj_T = np.full(Xm.shape[:2], n_subj, np.int32)  # pad seg = n_subj
+        for i, (_, _, _, sham_rows, subj_rows) in enumerate(tensor_list):
             sham_T[i, :len(sham_rows)] = sham_rows
+            subj_T[i, :len(subj_rows)] = subj_rows
         if use_cache:
             cache.mkdir(parents=True, exist_ok=True)
             np.save(cache / "Xm.npy", Xm)
             np.save(cache / "Xl.npy", Xl)
             np.save(cache / "n_real.npy", n_real)
             np.save(cache / "sham_T.npy", sham_T)
+            np.save(cache / "subj_T.npy", subj_T)
     t_build = time.perf_counter() - t0
     T = len(n_real)
     log(f"[bench] {T} VAE datasets ready in {t_build:.2f}s "
@@ -280,16 +290,19 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
 
     # ---- stage 5: collect the fleet + normative z-scores for ALL members
-    # (one vmapped program — train.normative.normative_zscores_fleet) -------
+    # (one vmapped program; z-scores reduce to per-subject profiles ON
+    # DEVICE — train.normative.normative_fleet_summary; the full z block
+    # would be ~1.2 GB over a tens-of-MB/s D2H link) ------------------------
     t0 = time.perf_counter()
     launcher.join()
     handle = launch_result["handle"]
     models, hist = handle.fetch()
     t_fetch = time.perf_counter() - t0
-    _m, _s, Z_T, mag_T = normative_zscores_fleet(
+    _m, _s, mag_T, prof_T, _cnt = normative_fleet_summary(
         handle.module, handle.params_T, handle.stats_T, Xm, Xl, sham_T,
-        seed=42)
-    assert Z_T.shape[0] == T and np.isfinite(mag_T).all()
+        subj_T, n_subj + 1, seed=42)
+    assert (prof_T.shape[0] == T and mag_T.shape[0] == T
+            and np.isfinite(mag_T).all())
     t_vae = time.perf_counter() - t0
     log(f"[bench]   fleet fetch {t_fetch:.2f}s | normative x{T} "
         f"{t_vae - t_fetch:.2f}s")

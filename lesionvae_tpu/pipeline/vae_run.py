@@ -22,7 +22,8 @@ import pandas as pd
 
 from ..core.config import Config, load_config
 from ..train import data as vdata
-from ..train.normative import (normative_zscores_fleet,
+from ..train.normative import (normative_fleet_summary,
+                               normative_zscores_fleet,
                                normative_zscores_fused)
 from ..train.trainer import train_lesion_vae
 from ..utils.logging import get_logger
@@ -155,14 +156,22 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                    base_path: str | Path | None = None,
                    timepoints: Optional[Sequence[str]] = None,
                    output_dir: str | Path | None = None,
-                   seed: int = 42) -> Dict[tuple, dict]:
+                   seed: int = 42, save_z: bool = False) -> Dict[tuple, dict]:
     """Train the whole (tract x timepoint) VAE fleet CONCURRENTLY (one
     vmapped device program, train.batched) and compute normative z-scores
     per member — the production cohort path; the reference can only train
     one VAE per invocation.
 
-    Returns {(tract, timepoint): {"model", "history", "Z", "magnitude",
-    "subj_ids", "group_labels"}}.
+    By default the full per-streamline z-score block stays on the device and
+    only summaries cross the host link (per-streamline magnitudes,
+    per-subject mean-|z| profiles, normative mean/std) — at cohort scale the
+    full block is ~GBs and remote D2H runs at tens of MB/s.  Pass
+    ``save_z=True`` to also fetch and store the full ``Z`` per member
+    (reference semantics of compute_zscore_residuals, vae_model.py:277-334;
+    the single-tract :func:`run_vae_analysis` always returns full Z).
+
+    Returns {(tract, timepoint): {"model", "history", "magnitude",
+    "subj_profiles", "subj_ids", "group_labels"[, "Z"]}}.
     """
     from ..train.batched import launch_many_vaes, pad_datasets
 
@@ -211,12 +220,23 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
     # (the per-member loop would jit up to T shape-distinct programs)
     with stage("vae_cohort.normative"):
         n_pad = Xm_all.shape[1]
-        sham_T = np.zeros((len(keys), n_pad), np.float32)
+        T = len(keys)
+        sham_T = np.zeros((T, n_pad), np.float32)
+        uniq_subj = [np.unique(s) for s, _ in meta]
+        n_seg = max(len(u) for u in uniq_subj) + 1  # last segment = pad rows
+        subj_idx_T = np.full((T, n_pad), n_seg - 1, np.int32)
         for i, (subj_ids, group_labels) in enumerate(meta):
             sham_T[i, :n_real[i]] = (group_labels == "Sham")
-        mean_T, std_T, Z_T, mag_T = normative_zscores_fleet(
+            subj_idx_T[i, :n_real[i]] = np.searchsorted(uniq_subj[i],
+                                                        subj_ids)
+        mean_T, std_T, mag_T, prof_T, _cnt = normative_fleet_summary(
             handle.module, handle.params_T, handle.stats_T,
-            Xm_all, Xl_all, sham_T, seed=seed)
+            Xm_all, Xl_all, sham_T, subj_idx_T, n_seg, seed=seed)
+        Z_T = None
+        if save_z:
+            _m, _s, Z_T, _mag = normative_zscores_fleet(
+                handle.module, handle.params_T, handle.stats_T,
+                Xm_all, Xl_all, sham_T, seed=seed)
 
     results: Dict[tuple, dict] = {}
     for i, key in enumerate(keys):
@@ -230,13 +250,19 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
         entry = dict(model=models[i], history=hist_df, subj_ids=subj_ids,
                      group_labels=group_labels)
         if sham_T[i].any():
-            Z, magnitude = Z_T[i, :n_i], mag_T[i, :n_i]
-            np.savez_compressed(
-                output_dir / f"zscores_{tract}_{tp}.npz", Z=Z,
-                magnitude=magnitude, subj_ids=subj_ids,
-                group_labels=group_labels, norm_mean=mean_T[i],
-                norm_std=std_T[i])
-            entry.update(Z=Z, magnitude=magnitude)
+            profiles = {sid: prof_T[i, j]
+                        for j, sid in enumerate(uniq_subj[i])}
+            payload = dict(magnitude=mag_T[i, :n_i], subj_ids=subj_ids,
+                           group_labels=group_labels, norm_mean=mean_T[i],
+                           norm_std=std_T[i],
+                           subj_profile=prof_T[i, :len(uniq_subj[i])],
+                           subj_order=uniq_subj[i])
+            entry.update(magnitude=mag_T[i, :n_i], subj_profiles=profiles)
+            if Z_T is not None:
+                payload["Z"] = Z_T[i, :n_i]
+                entry["Z"] = Z_T[i, :n_i]
+            np.savez_compressed(output_dir / f"zscores_{tract}_{tp}.npz",
+                                **payload)
         results[key] = entry
 
     log.info("VAE cohort complete: %d members → %s", len(results), output_dir)

@@ -95,12 +95,18 @@ def test_run_vae_cohort_fleet(cohort):
                              epochs=2, batch_size=16, config=cfg,
                              base_path=root, timepoints=["9d"],
                              output_dir=root / "results" / "vae_cohort",
-                             seed=0)
+                             seed=0, save_z=True)
     assert set(results) == {("atr_left", "9d"), ("fimbria_right", "9d")}
     for key, r in results.items():
         assert r["Z"].shape[1:] == (100, 13)
         assert np.isfinite(r["magnitude"]).all()
         assert len(r["history"]) == 2
+        # on-device per-subject profiles == host aggregation of the full Z
+        for sid, prof in r["subj_profiles"].items():
+            m = r["subj_ids"] == sid
+            np.testing.assert_allclose(
+                prof, np.abs(r["Z"][m]).mean(axis=(0, 2)), rtol=2e-5,
+                atol=1e-6)
     assert (root / "results" / "vae_cohort"
             / "training_history_atr_left_9d.csv").exists()
     assert (root / "results" / "vae_cohort"

@@ -75,3 +75,50 @@ def test_fleet_normative_matches_per_member():
         np.testing.assert_allclose(std_T[i], std_i, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(Z_T[i], Z_i, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(mag_T[i], mag_i, rtol=1e-4, atol=1e-5)
+
+
+def test_fleet_summary_matches_host_aggregation():
+    """normative_fleet_summary's on-device per-subject profiles and
+    magnitudes == host aggregation of the full fleet z-score block."""
+    from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
+    from lesionvae_tpu.train.normative import (normative_fleet_summary,
+                                               normative_zscores_fleet)
+
+    rng = np.random.default_rng(2)
+    tensors = [
+        (rng.normal(size=(40, 16, 3)).astype(np.float32),
+         rng.uniform(size=(40, 16, 2)).astype(np.float32)),
+        (rng.normal(size=(25, 16, 3)).astype(np.float32),
+         rng.uniform(size=(25, 16, 2)).astype(np.float32)),
+    ]
+    Xm_T, Xl_T, n_real = pad_datasets(tensors, batch_size=16)
+    handle = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                              batch_size=16, seed=3)
+
+    n_pad = Xm_T.shape[1]
+    sham_T = np.zeros((2, n_pad), np.float32)
+    sham_T[0, :15] = 1.0
+    sham_T[1, :10] = 1.0
+    # 3 subjects + 1 pad segment; rows assigned round-robin
+    n_seg = 4
+    subj_T = np.full((2, n_pad), n_seg - 1, np.int32)
+    for i in range(2):
+        subj_T[i, :n_real[i]] = np.arange(n_real[i]) % 3
+
+    mean_T, std_T, Z_T, mag_full = normative_zscores_fleet(
+        handle.module, handle.params_T, handle.stats_T, Xm_T, Xl_T, sham_T,
+        seed=7)
+    mean_s, std_s, mag_s, prof_T, cnt_T = normative_fleet_summary(
+        handle.module, handle.params_T, handle.stats_T, Xm_T, Xl_T, sham_T,
+        subj_T, n_seg, seed=7)
+
+    np.testing.assert_allclose(mean_s, mean_T, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(std_s, std_T, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mag_s, mag_full, rtol=1e-4, atol=1e-5)
+    for i in range(2):
+        for s in range(3):
+            m = subj_T[i] == s
+            assert cnt_T[i, s] == m.sum()
+            np.testing.assert_allclose(
+                prof_T[i, s], np.abs(Z_T[i][m]).mean(axis=(0, 2)),
+                rtol=1e-4, atol=1e-5)
