@@ -78,7 +78,14 @@ def fast_profile_tensors(root: Path, cfg):
     groups = cfg.subjects_by_group()
 
     try:
+        import pyarrow as pa
         from pyarrow import csv as pacsv
+        # parse only the needed 17 of 20 columns, numerics directly as
+        # float32 (pyarrow defaults to float64 + a cast later)
+        _conv = pacsv.ConvertOptions(
+            include_columns=["tract_id"] + micro + lesion,
+            include_missing_columns=True,
+            column_types={c: pa.float32() for c in micro + lesion})
     except ImportError:
         pacsv = None
 
@@ -97,7 +104,7 @@ def fast_profile_tensors(root: Path, cfg):
                 # stable sort by tract code replaces 16 per-tract dataframe
                 # scans (the pandas filter path cost ~170 ms/file on 1 core)
                 if pacsv is not None:
-                    tbl = pacsv.read_csv(fp)
+                    tbl = pacsv.read_csv(fp, convert_options=_conv)
                     cols = {c: tbl.column(c) for c in tbl.column_names}
                     tract_codes = np.asarray(cols["tract_id"].dictionary_encode()
                                              .combine_chunks().indices)
@@ -108,8 +115,11 @@ def fast_profile_tensors(root: Path, cfg):
                         M[:, j] = np.asarray(cols[c], np.float32)
                     Lm = np.empty((len(tract_codes), len(lesion)), np.float32)
                     for j, c in enumerate(lesion):
-                        if c in cols:
-                            Lm[:, j] = np.asarray(cols[c], np.float32)
+                        col = cols.get(c)
+                        # include_missing_columns yields all-null columns
+                        # for features absent from the file (Sham subjects)
+                        if col is not None and col.null_count < len(col):
+                            Lm[:, j] = np.asarray(col, np.float32)
                         else:
                             Lm[:, j] = 15.0 if c == "lesion_distance" else 0.0
                 else:
@@ -257,9 +267,15 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # The client-side enqueue (program cache load + dispatch) costs ~5-15 s;
     # run it on a thread so it overlaps geometry's host I/O (gzip + native
     # VTK parsing release the GIL).
-    # f32: bf16 mixed precision wins 2.7x on an isolated step but LOSES ~2x
-    # inside the full scanned program on this backend (layout round-trips
-    # between f32 BatchNorm and bf16 convs dominate) — measured, not assumed.
+    # bf16 compute (f32 params/BatchNorm stats/loss — the standard TPU
+    # mixed-precision recipe): 9.8 s vs 14.1 s f32 for the 40-epoch fleet
+    # program.  Earlier rounds measured bf16 LOSING in-scan; that was the
+    # strided-slice avg_pool gather forcing layout round-trips, fixed in
+    # models/layers.py.  tests/test_mixed_precision.py pins the bf16 curve
+    # to the f32 curve within 10%.
+    import jax.numpy as jnp
+    fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_FLEET_DTYPE", "bf16")]
     import threading
     t0 = t_fleet_launch = time.perf_counter()
     launch_result = {}
@@ -267,7 +283,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     def _launch():
         launch_result["handle"] = launch_many_vaes(
             Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
-            seed=42)
+            seed=42, compute_dtype=fleet_dtype)
         log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
     launcher = threading.Thread(target=_launch)
@@ -299,8 +315,8 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     models, hist = handle.fetch()
     t_fetch = time.perf_counter() - t0
     _m, _s, mag_T, prof_T, _cnt = normative_fleet_summary(
-        handle.module, handle.params_T, handle.stats_T, Xm, Xl, sham_T,
-        subj_T, n_subj + 1, seed=42)
+        handle.module, handle.params_T, handle.stats_T,
+        handle.Xm_j, handle.Xl_j, sham_T, subj_T, n_subj + 1, seed=42)
     assert (prof_T.shape[0] == T and mag_T.shape[0] == T
             and np.isfinite(mag_T).all())
     t_vae = time.perf_counter() - t0

@@ -109,8 +109,12 @@ def batched_bundle_metrics(bundles: List[List[np.ndarray]],
         for sl in bundle:
             buckets.setdefault(_bucket_P(len(sl)), []).append((bi, sl))
 
-    vals_parts: List[np.ndarray] = []    # (S, 18) per chunk
-    bids_parts: List[np.ndarray] = []
+    # two-phase dispatch: enqueue EVERY chunk's device program first (jit
+    # calls return futures), then fetch — chunk K+1's host padding and H2D
+    # overlap chunk K's device execution instead of a blocking
+    # upload→compute→fetch round-trip per chunk (worth ~2x on the
+    # high-latency remote attachment)
+    pending = []                         # (device stacked, S, bundle ids)
     for P, items in sorted(buckets.items()):
         for c0 in range(0, len(items), _CHUNK_S):
             chunk = items[c0:c0 + _CHUNK_S]
@@ -127,9 +131,12 @@ def batched_bundle_metrics(bundles: List[List[np.ndarray]],
                 d_pts = jax.device_put(d_pts, data_sh)
                 d_lens = jax.device_put(d_lens, data_sh)
             stacked = streamline_metrics_stacked(d_pts, d_lens, dtype=dtype)
-            vals_parts.append(np.asarray(stacked)[:, :S].T)
-            bids_parts.append(np.fromiter((bi for bi, _ in chunk),
-                                          np.int64, count=S))
+            pending.append((stacked, S,
+                            np.fromiter((bi for bi, _ in chunk),
+                                        np.int64, count=S)))
+
+    vals_parts = [np.asarray(stacked)[:, :S].T for stacked, S, _ in pending]
+    bids_parts = [bids for _, _, bids in pending]
 
     V = np.concatenate(vals_parts)                     # (S_total, 18)
     bids = np.concatenate(bids_parts)
@@ -174,6 +181,30 @@ def bundle_path(data_dir: Path, subject_id: str, timepoint: str,
     return p if p.exists() else None
 
 
+def decompress_vtk_if_needed(path: Path) -> Path:
+    """Inflate ``*.vtk.gz`` to a sibling ``*.vtk`` and KEEP it, reusing a
+    fresh one on later runs — the reference's exact steady-state behavior
+    (comprehensive_tract_geometry_analysis.py:54-76 decompresses next to the
+    archive and skips when the inflated file is newer).  gzip inflate is
+    ~60% of the cold cohort read on a 1-core host; warm runs skip it.
+
+    Best-effort: on any failure (e.g. read-only data dir) the original path
+    is returned and the reader inflates in memory as before."""
+    if path.suffix != ".gz":
+        return path
+    out = path.with_suffix("")
+    try:
+        if out.exists() and out.stat().st_mtime >= path.stat().st_mtime:
+            return out
+        import gzip as _gzip
+        tmp = out.with_name(out.name + ".tmp")
+        tmp.write_bytes(_gzip.decompress(path.read_bytes()))
+        tmp.replace(out)  # atomic: readers never see a partial file
+        return out
+    except Exception:
+        return path
+
+
 def process_all_tracts(config: Config, data_dir: Path,
                        max_streamlines: Optional[int] = 100,
                        dtype=jnp.float32) -> pd.DataFrame:
@@ -202,7 +233,8 @@ def process_all_tracts(config: Config, data_dir: Path,
 
     def _read(path: Path):
         try:
-            return read_streamlines(path, max_streamlines=max_streamlines)
+            return read_streamlines(decompress_vtk_if_needed(path),
+                                    max_streamlines=max_streamlines)
         except Exception as e:  # corrupt file → skip, don't abort
             log.error("failed to read %s: %s", path, e)
             return None

@@ -156,7 +156,8 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                    base_path: str | Path | None = None,
                    timepoints: Optional[Sequence[str]] = None,
                    output_dir: str | Path | None = None,
-                   seed: int = 42, save_z: bool = False) -> Dict[tuple, dict]:
+                   seed: int = 42, save_z: bool = False,
+                   compute_dtype=None) -> Dict[tuple, dict]:
     """Train the whole (tract x timepoint) VAE fleet CONCURRENTLY (one
     vmapped device program, train.batched) and compute normative z-scores
     per member — the production cohort path; the reference can only train
@@ -213,7 +214,8 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
         Xm_all, Xl_all, n_real = pad_datasets(tensors, batch_size=batch_size)
         handle = launch_many_vaes(Xm_all, Xl_all, n_real,
                                   latent_dim=latent_dim, epochs=epochs,
-                                  batch_size=batch_size, lr=lr, seed=seed)
+                                  batch_size=batch_size, lr=lr, seed=seed,
+                                  compute_dtype=compute_dtype)
         models, hist = handle.fetch()
 
     # normative z-scores for ALL members in one vmapped device program
@@ -231,12 +233,12 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                                                         subj_ids)
         mean_T, std_T, mag_T, prof_T, _cnt = normative_fleet_summary(
             handle.module, handle.params_T, handle.stats_T,
-            Xm_all, Xl_all, sham_T, subj_idx_T, n_seg, seed=seed)
+            handle.Xm_j, handle.Xl_j, sham_T, subj_idx_T, n_seg, seed=seed)
         Z_T = None
         if save_z:
             _m, _s, Z_T, _mag = normative_zscores_fleet(
                 handle.module, handle.params_T, handle.stats_T,
-                Xm_all, Xl_all, sham_T, seed=seed)
+                handle.Xm_j, handle.Xl_j, sham_T, seed=seed)
 
     results: Dict[tuple, dict] = {}
     for i, key in enumerate(keys):

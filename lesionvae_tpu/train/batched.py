@@ -135,11 +135,17 @@ class FleetHandle:
     programs without re-stacking per-member slices.
     """
 
-    def __init__(self, module, params_T, stats_T, hist_T, epochs, n_batches):
+    def __init__(self, module, params_T, stats_T, hist_T, epochs, n_batches,
+                 Xm_j=None, Xl_j=None):
         self.module = module
         self.params_T = params_T
         self.stats_T = stats_T
         self.hist_T = hist_T
+        # device-resident training tensors: downstream fleet programs
+        # (normative z-scores) reuse them instead of re-uploading the numpy
+        # blocks — a 2nd H2D of the cohort costs ~12 s on the remote link
+        self.Xm_j = Xm_j
+        self.Xl_j = Xl_j
         self._epochs = epochs
         self._n_batches = n_batches
 
@@ -189,7 +195,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
     params_T, stats_T, hist_T = program(Xm_j, Xl_j, n_j, keys)
-    return FleetHandle(module, params_T, stats_T, hist_T, epochs, n_batches)
+    return FleetHandle(module, params_T, stats_T, hist_T, epochs, n_batches,
+                       Xm_j=Xm_j, Xl_j=Xl_j)
 
 
 def train_many_vaes(Xm, Xl, n_real, **kwargs):

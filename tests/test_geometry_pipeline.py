@@ -86,3 +86,50 @@ def test_missing_files_skipped(cohort, tmp_path):
                                          max_streamlines=10)
     assert set(df["tract"]) == {"atr_left"}
     assert len(df) == 3 * 4
+
+
+def test_decompress_vtk_if_needed(tmp_path):
+    """Reference-parity inflate cache (comprehensive_tract_geometry_analysis
+    .py:54-76): .gz inflates to a KEPT sibling .vtk, fresh siblings are
+    reused, and failures fall back to the original path."""
+    import gzip
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from lesionvae_tpu.io import vtk
+    from lesionvae_tpu.pipeline.geometry_run import decompress_vtk_if_needed
+
+    sl = [np.cumsum(np.ones((5, 3), np.float64), axis=0)]
+    raw = tmp_path / "bundle_curves.vtk"
+    vtk.write_vtk_polylines(raw, sl, binary=True)
+    gz = tmp_path / "bundle_curves.vtk.gz"
+    gz.write_bytes(gzip.compress(raw.read_bytes()))
+    raw.unlink()
+
+    out = decompress_vtk_if_needed(gz)
+    assert out == tmp_path / "bundle_curves.vtk" and out.exists()
+    got = vtk.read_streamlines(out)
+    np.testing.assert_allclose(got[0], sl[0])
+
+    # warm reuse: the kept file is NOT rewritten when fresh
+    mtime = out.stat().st_mtime_ns
+    assert decompress_vtk_if_needed(gz) == out
+    assert out.stat().st_mtime_ns == mtime
+
+    # stale sibling (older than the archive) is refreshed
+    os.utime(out, (1, 1))
+    assert decompress_vtk_if_needed(gz) == out
+    assert out.stat().st_mtime_ns > 1e9
+
+    # corrupt archive -> fall back to the original path, no partial file
+    bad = tmp_path / "bad_curves.vtk.gz"
+    bad.write_bytes(b"not gzip at all")
+    assert decompress_vtk_if_needed(bad) == bad
+    assert not (tmp_path / "bad_curves.vtk").exists()
+
+    # non-gz input is returned untouched
+    plain = tmp_path / "plain_curves.vtk"
+    vtk.write_vtk_polylines(plain, sl, binary=True)
+    assert decompress_vtk_if_needed(plain) == plain
