@@ -209,7 +209,7 @@ def main():
 
 def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
 
-    from lesionvae_tpu.pipeline.geometry_run import run_geometry
+    from lesionvae_tpu.pipeline.geometry_run import launch_geometry
     from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
     from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
     from lesionvae_tpu.train import data as vdata
@@ -220,7 +220,18 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     exclusions = []
     t_start = time.perf_counter()
 
-    # ---- stage 1: VAE tensors — CSV → tensors → normalization → padding.
+    # ---- stage 1: geometry read + device launch ---------------------------
+    # The cohort read is host-bound; the enqueued device programs then
+    # execute while the host builds the VAE tensors (stage 2) — the
+    # geometry device time is fully hidden behind host work.
+    t0 = time.perf_counter()
+    geo_finish = launch_geometry(cfg, data_dir=root / "data",
+                                 output_dir=out_dir / "geometry",
+                                 max_streamlines=100)
+    t_geo_launch = time.perf_counter() - t0
+    log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
+
+    # ---- stage 2: VAE tensors — CSV → tensors → normalization → padding.
     # TIMED (reference stage data_loader.py:27-148).  An opt-in derived-data
     # cache exists for fast iteration (BENCH_TENSOR_CACHE=1) and is reported
     # as an exclusion in the emitted JSON when used. --------------------------
@@ -263,10 +274,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     log(f"[bench] {T} VAE datasets ready in {t_build:.2f}s "
         f"(CSV->tensors->norm->pad{' [cached]' if exclusions else ''})")
 
-    # ---- stage 2: launch the VAE fleet asynchronously ---------------------
-    # The client-side enqueue (program cache load + dispatch) costs ~5-15 s;
-    # run it on a thread so it overlaps geometry's host I/O (gzip + native
-    # VTK parsing release the GIL).
+    # ---- stage 3: launch the VAE fleet (device, queues after geometry) ----
     # bf16 compute (f32 params/BatchNorm stats/loss — the standard TPU
     # mixed-precision recipe): 9.8 s vs 14.1 s f32 for the 40-epoch fleet
     # program.  Earlier rounds measured bf16 LOSING in-scan; that was the
@@ -276,28 +284,19 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     import jax.numpy as jnp
     fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_FLEET_DTYPE", "bf16")]
-    import threading
     t0 = t_fleet_launch = time.perf_counter()
-    launch_result = {}
+    handle = launch_many_vaes(
+        Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
+        seed=42, compute_dtype=fleet_dtype)
+    log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
-    def _launch():
-        launch_result["handle"] = launch_many_vaes(
-            Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
-            seed=42, compute_dtype=fleet_dtype)
-        log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
-
-    launcher = threading.Thread(target=_launch)
-    launcher.start()
-
-    # ---- stage 3: geometry (host IO overlaps the fleet on device) ---------
+    # ---- stage 4: geometry finish (device work already done/overlapped) ---
     t0 = time.perf_counter()
-    geo_df = run_geometry(cfg, data_dir=root / "data",
-                          output_dir=out_dir / "geometry",
-                          max_streamlines=100)
-    t_geo = time.perf_counter() - t0
-    log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s")
+    geo_df = geo_finish()
+    t_geo = t_geo_launch + (time.perf_counter() - t0)
+    log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
 
-    # ---- stage 4: lesion SH + heme ----------------------------------------
+    # ---- stage 5: lesion SH + heme ----------------------------------------
     t0 = time.perf_counter()
     les_df = run_lesion_analysis(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "lesion",
@@ -305,13 +304,11 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     t_sh = time.perf_counter() - t0
     log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
 
-    # ---- stage 5: collect the fleet + normative z-scores for ALL members
+    # ---- stage 6: collect the fleet + normative z-scores for ALL members
     # (one vmapped program; z-scores reduce to per-subject profiles ON
     # DEVICE — train.normative.normative_fleet_summary; the full z block
     # would be ~1.2 GB over a tens-of-MB/s D2H link) ------------------------
     t0 = time.perf_counter()
-    launcher.join()
-    handle = launch_result["handle"]
     models, hist = handle.fetch()
     t_fetch = time.perf_counter() - t0
     _m, _s, mag_T, prof_T, _cnt = normative_fleet_summary(

@@ -84,14 +84,17 @@ def compute_streamline_metrics(vtk_path: str | Path,
 # ----------------------------------------------------------------------------
 # Batched cohort execution
 # ----------------------------------------------------------------------------
-def batched_bundle_metrics(bundles: List[List[np.ndarray]],
-                           dtype=jnp.float32,
-                           mesh=None) -> List[Dict[str, float]]:
-    """Bundle summaries for many bundles with a few fused device dispatches.
+def launch_bundle_metrics(bundles: List[List[np.ndarray]],
+                          dtype=jnp.float32, mesh=None):
+    """Enqueue the fused per-bucket device dispatches for many bundles and
+    return a zero-argument ``finish()`` callable producing the bundle
+    summaries.
 
     Streamlines from every bundle are pooled, bucketed by padded point count
     (powers of two >= 32), and each bucket runs as one ``streamline_metrics``
-    call.  Per-streamline results are then regrouped by bundle on the host.
+    call.  The jit calls return device futures, so callers can interleave
+    other host work (e.g. the VAE tensor build) between launch and finish —
+    on the remote-attached chip this hides the geometry device time entirely.
 
     ``mesh``: optional jax.sharding.Mesh — each chunk's streamline axis is
     sharded over the ``data`` axis (the cohort's scaling axis, SURVEY.md §5.7);
@@ -135,36 +138,47 @@ def batched_bundle_metrics(bundles: List[List[np.ndarray]],
                             np.fromiter((bi for bi, _ in chunk),
                                         np.int64, count=S)))
 
-    vals_parts = [np.asarray(stacked)[:, :S].T for stacked, S, _ in pending]
-    bids_parts = [bids for _, _, bids in pending]
+    def finish() -> List[Dict[str, float]]:
+        vals_parts = [np.asarray(stacked)[:, :S].T
+                      for stacked, S, _ in pending]
+        bids_parts = [bids for _, _, bids in pending]
 
-    V = np.concatenate(vals_parts)                     # (S_total, 18)
-    bids = np.concatenate(bids_parts)
-    valid = V[:, STACKED_NAMES.index("valid")] > 0.5
+        V = np.concatenate(vals_parts)                 # (S_total, 18)
+        bids = np.concatenate(bids_parts)
+        valid = V[:, STACKED_NAMES.index("valid")] > 0.5
 
-    # vectorized bundle summaries: pandas groupby mean == np.nanmean per
-    # bundle (skips NaN, propagates inf — _safe_mean semantics,
-    # tract_geom_proc.py:192-210)
-    metric_cols = [STACKED_NAMES.index(src) for _, src in BUNDLE_SUMMARY]
-    df = pd.DataFrame(V[valid][:, metric_cols].astype(np.float64),
-                      columns=[col for col, _ in BUNDLE_SUMMARY])
-    df["__b"] = bids[valid]
-    with np.errstate(invalid="ignore"):
-        means = df.groupby("__b").mean()
-    counts = np.bincount(bids[valid], minlength=len(bundles))
+        # vectorized bundle summaries: pandas groupby mean == np.nanmean per
+        # bundle (skips NaN, propagates inf — _safe_mean semantics,
+        # tract_geom_proc.py:192-210)
+        metric_cols = [STACKED_NAMES.index(src) for _, src in BUNDLE_SUMMARY]
+        df = pd.DataFrame(V[valid][:, metric_cols].astype(np.float64),
+                          columns=[col for col, _ in BUNDLE_SUMMARY])
+        df["__b"] = bids[valid]
+        with np.errstate(invalid="ignore"):
+            means = df.groupby("__b").mean()
+        counts = np.bincount(bids[valid], minlength=len(bundles))
 
-    summaries = []
-    for bi in range(len(bundles)):
-        out: Dict[str, float] = {"n_streamlines": int(counts[bi])}
-        if bi in means.index:
-            row = means.loc[bi]
-            for col, _ in BUNDLE_SUMMARY:
-                out[col] = float(row[col])
-        else:
-            for col, _ in BUNDLE_SUMMARY:
-                out[col] = float("nan")
-        summaries.append(out)
-    return summaries
+        summaries = []
+        for bi in range(len(bundles)):
+            out: Dict[str, float] = {"n_streamlines": int(counts[bi])}
+            if bi in means.index:
+                row = means.loc[bi]
+                for col, _ in BUNDLE_SUMMARY:
+                    out[col] = float(row[col])
+            else:
+                for col, _ in BUNDLE_SUMMARY:
+                    out[col] = float("nan")
+            summaries.append(out)
+        return summaries
+
+    return finish
+
+
+def batched_bundle_metrics(bundles: List[List[np.ndarray]],
+                           dtype=jnp.float32,
+                           mesh=None) -> List[Dict[str, float]]:
+    """Synchronous wrapper over :func:`launch_bundle_metrics`."""
+    return launch_bundle_metrics(bundles, dtype=dtype, mesh=mesh)()
 
 
 # ----------------------------------------------------------------------------
@@ -205,13 +219,15 @@ def decompress_vtk_if_needed(path: Path) -> Path:
         return path
 
 
-def process_all_tracts(config: Config, data_dir: Path,
-                       max_streamlines: Optional[int] = 100,
-                       dtype=jnp.float32) -> pd.DataFrame:
-    """Cohort geometry metrics (reference: :134-220), batched.
+def launch_all_tracts(config: Config, data_dir: Path,
+                      max_streamlines: Optional[int] = 100,
+                      dtype=jnp.float32):
+    """Read the cohort and ENQUEUE its device dispatches; returns a
+    zero-argument ``finish()`` producing the cohort metrics DataFrame.
 
-    Missing files are warned and skipped — the skip-and-continue fault
-    tolerance contract is load-bearing downstream (SURVEY.md §5.3).
+    Cohort geometry metrics (reference: :134-220), batched.  Missing files
+    are warned and skipped — the skip-and-continue fault tolerance contract
+    is load-bearing downstream (SURVEY.md §5.3).
     """
     subjects_by_group = config.subjects_by_group()
     timepoints = list(config.timepoints)
@@ -266,21 +282,36 @@ def process_all_tracts(config: Config, data_dir: Path,
     log.info("read %d bundles", len(bundles))
 
     if not bundles:
-        return pd.DataFrame()
+        return lambda: pd.DataFrame()
 
-    with stage("geometry.compute"):
-        summaries = batched_bundle_metrics(bundles, dtype=dtype)
-    log.info("computed %d bundle summaries", len(summaries))
+    with stage("geometry.launch"):
+        finish_metrics = launch_bundle_metrics(bundles, dtype=dtype)
 
-    rows = []
-    for summ, m in zip(summaries, meta):
-        if summ["n_streamlines"] == 0:
-            log.warning("no valid streamlines for %s", m)
-            continue
-        row = dict(summ)
-        row.update(m)  # metadata columns go last, as in the reference (:112-115)
-        rows.append(row)
-    return pd.DataFrame(rows)
+    def finish() -> pd.DataFrame:
+        with stage("geometry.compute"):
+            summaries = finish_metrics()
+        log.info("computed %d bundle summaries", len(summaries))
+
+        rows = []
+        for summ, m in zip(summaries, meta):
+            if summ["n_streamlines"] == 0:
+                log.warning("no valid streamlines for %s", m)
+                continue
+            row = dict(summ)
+            # metadata columns go last, as in the reference (:112-115)
+            row.update(m)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return finish
+
+
+def process_all_tracts(config: Config, data_dir: Path,
+                       max_streamlines: Optional[int] = 100,
+                       dtype=jnp.float32) -> pd.DataFrame:
+    """Synchronous cohort driver (reference main loop :134-220)."""
+    return launch_all_tracts(config, data_dir,
+                             max_streamlines=max_streamlines, dtype=dtype)()
 
 
 def generate_summary_statistics(results_df: pd.DataFrame, output_dir: Path
@@ -331,12 +362,17 @@ def generate_summary_statistics(results_df: pd.DataFrame, output_dir: Path
     return summary_df, tract_summary_df
 
 
-def run_geometry(config: Optional[Config] = None,
-                 data_dir: str | Path | None = None,
-                 output_dir: str | Path | None = None,
-                 max_streamlines: Optional[int] = 100,
-                 dtype=jnp.float32) -> pd.DataFrame:
-    """End-to-end geometry stage (reference main():299-329)."""
+def launch_geometry(config: Optional[Config] = None,
+                    data_dir: str | Path | None = None,
+                    output_dir: str | Path | None = None,
+                    max_streamlines: Optional[int] = 100,
+                    dtype=jnp.float32):
+    """Async geometry stage: read the cohort + enqueue all device work NOW;
+    the returned ``finish()`` fetches results and writes the three CSVs.
+
+    Lets callers overlap other host work (VAE tensor build, fleet launch)
+    with the geometry device execution — on the remote-attached bench chip
+    this hides the stage's device time entirely."""
     config = config or load_config()
     base = Path(config.base_path)
     data_dir = Path(data_dir) if data_dir else base / "data"
@@ -344,10 +380,12 @@ def run_geometry(config: Optional[Config] = None,
                   else base / "results" / "comprehensive_tract_geometry")
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    with stage("geometry"):
-        results_df = process_all_tracts(config, data_dir,
-                                        max_streamlines=max_streamlines,
-                                        dtype=dtype)
+    finish_tracts = launch_all_tracts(config, data_dir,
+                                      max_streamlines=max_streamlines,
+                                      dtype=dtype)
+
+    def finish() -> pd.DataFrame:
+        results_df = finish_tracts()
         if len(results_df) == 0:
             log.error("no tracts successfully processed")
             return results_df
@@ -356,6 +394,21 @@ def run_geometry(config: Optional[Config] = None,
                 output_dir / "comprehensive_tract_geometry_metrics.csv",
                 index=False)
             generate_summary_statistics(results_df, output_dir)
-    log.info("geometry stage complete: %d records -> %s",
-             len(results_df), output_dir)
-    return results_df
+        log.info("geometry stage complete: %d records -> %s",
+                 len(results_df), output_dir)
+        return results_df
+
+    return finish
+
+
+def run_geometry(config: Optional[Config] = None,
+                 data_dir: str | Path | None = None,
+                 output_dir: str | Path | None = None,
+                 max_streamlines: Optional[int] = 100,
+                 dtype=jnp.float32) -> pd.DataFrame:
+    """End-to-end geometry stage (reference main():299-329)."""
+    with stage("geometry"):
+        return launch_geometry(config, data_dir=data_dir,
+                               output_dir=output_dir,
+                               max_streamlines=max_streamlines,
+                               dtype=dtype)()
