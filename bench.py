@@ -213,7 +213,6 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
     from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
     from lesionvae_tpu.train import data as vdata
-    from lesionvae_tpu.train.normative import normative_fleet_summary
 
     out_dir = root / "bench_results"
     epochs = 40 if SCALE == "full" else 5
@@ -274,7 +273,16 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     log(f"[bench] {T} VAE datasets ready in {t_build:.2f}s "
         f"(CSV->tensors->norm->pad{' [cached]' if exclusions else ''})")
 
-    # ---- stage 3: launch the VAE fleet (device, queues after geometry) ----
+    # ---- stage 3: lesion SH + heme (small device programs — run BEFORE the
+    # fleet so they don't queue behind its 10 s program) --------------------
+    t0 = time.perf_counter()
+    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
+                                 output_dir=out_dir / "lesion",
+                                 max_l=6, num_samples=2000, seed=0)
+    t_sh = time.perf_counter() - t0
+    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
+
+    # ---- stage 4: launch the VAE fleet (device, queues after geometry) ----
     # bf16 compute (f32 params/BatchNorm stats/loss — the standard TPU
     # mixed-precision recipe): 9.8 s vs 14.1 s f32 for the 40-epoch fleet
     # program.  Earlier rounds measured bf16 LOSING in-scan; that was the
@@ -287,33 +295,30 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     t0 = t_fleet_launch = time.perf_counter()
     handle = launch_many_vaes(
         Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
-        seed=42, compute_dtype=fleet_dtype)
+        seed=42, compute_dtype=fleet_dtype,
+        summary_spec=(sham_T, subj_T, n_subj + 1, 42))
     log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
-    # ---- stage 4: geometry finish (device work already done/overlapped) ---
+    # ---- stage 5: geometry finish (device work already done/overlapped;
+    # fetching materialized HBM buffers does not wait on the fleet) ---------
     t0 = time.perf_counter()
     geo_df = geo_finish()
     t_geo = t_geo_launch + (time.perf_counter() - t0)
     log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
 
-    # ---- stage 5: lesion SH + heme ----------------------------------------
+    # ---- stage 6: collect the fleet + fused normative summary -------------
+    # Training, sham statistics, and the on-device z-score reduction ran as
+    # ONE device program (launch_many_vaes summary_spec); only history +
+    # per-subject profiles + magnitudes cross the D2H link (<10 MB — the
+    # full z block would be ~1.2 GB at tens of MB/s).  The history fetch
+    # reads hist_T directly: handle.fetch() would slice 64 per-member param
+    # pytrees (~3k tiny device ops on the remote link, ~2 s) that the bench
+    # never consumes. -------------------------------------------------------
     t0 = time.perf_counter()
-    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
-                                 output_dir=out_dir / "lesion",
-                                 max_l=6, num_samples=2000, seed=0)
-    t_sh = time.perf_counter() - t0
-    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
-
-    # ---- stage 6: collect the fleet + normative z-scores for ALL members
-    # (one vmapped program; z-scores reduce to per-subject profiles ON
-    # DEVICE — train.normative.normative_fleet_summary; the full z block
-    # would be ~1.2 GB over a tens-of-MB/s D2H link) ------------------------
-    t0 = time.perf_counter()
-    models, hist = handle.fetch()
+    hist = np.asarray(handle.hist_T)
+    assert hist.shape[0] == len(n_real) and hist.shape[1] == epochs
     t_fetch = time.perf_counter() - t0
-    _m, _s, mag_T, prof_T, _cnt = normative_fleet_summary(
-        handle.module, handle.params_T, handle.stats_T,
-        handle.Xm_j, handle.Xl_j, sham_T, subj_T, n_subj + 1, seed=42)
+    _m, _s, mag_T, prof_T, _cnt = [np.asarray(x) for x in handle.summary_T]
     assert (prof_T.shape[0] == T and mag_T.shape[0] == T
             and np.isfinite(mag_T).all())
     t_vae = time.perf_counter() - t0

@@ -22,8 +22,7 @@ import pandas as pd
 
 from ..core.config import Config, load_config
 from ..train import data as vdata
-from ..train.normative import (normative_fleet_summary,
-                               normative_zscores_fleet,
+from ..train.normative import (normative_zscores_fleet,
                                normative_zscores_fused)
 from ..train.trainer import train_lesion_vae
 from ..utils.logging import get_logger
@@ -212,15 +211,6 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
 
     with stage("vae_cohort.train"):
         Xm_all, Xl_all, n_real = pad_datasets(tensors, batch_size=batch_size)
-        handle = launch_many_vaes(Xm_all, Xl_all, n_real,
-                                  latent_dim=latent_dim, epochs=epochs,
-                                  batch_size=batch_size, lr=lr, seed=seed,
-                                  compute_dtype=compute_dtype)
-        models, hist = handle.fetch()
-
-    # normative z-scores for ALL members in one vmapped device program
-    # (the per-member loop would jit up to T shape-distinct programs)
-    with stage("vae_cohort.normative"):
         n_pad = Xm_all.shape[1]
         T = len(keys)
         sham_T = np.zeros((T, n_pad), np.float32)
@@ -231,9 +221,18 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
             sham_T[i, :n_real[i]] = (group_labels == "Sham")
             subj_idx_T[i, :n_real[i]] = np.searchsorted(uniq_subj[i],
                                                         subj_ids)
-        mean_T, std_T, mag_T, prof_T, _cnt = normative_fleet_summary(
-            handle.module, handle.params_T, handle.stats_T,
-            handle.Xm_j, handle.Xl_j, sham_T, subj_idx_T, n_seg, seed=seed)
+        # training + normative summary fused into ONE device program
+        handle = launch_many_vaes(Xm_all, Xl_all, n_real,
+                                  latent_dim=latent_dim, epochs=epochs,
+                                  batch_size=batch_size, lr=lr, seed=seed,
+                                  compute_dtype=compute_dtype,
+                                  summary_spec=(sham_T, subj_idx_T, n_seg,
+                                                seed))
+        models, hist = handle.fetch()
+
+    with stage("vae_cohort.normative"):
+        mean_T, std_T, mag_T, prof_T, _cnt = [np.asarray(x)
+                                              for x in handle.summary_T]
         Z_T = None
         if save_z:
             _m, _s, Z_T, _mag = normative_zscores_fleet(

@@ -37,8 +37,14 @@ import functools
 def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                    latent_dim: int, epochs: int, batch_size: int, lr: float,
                    weight_decay: float, grad_clip: float,
-                   compute_dtype=None):
+                   compute_dtype=None, summary_n_seg: int = 0,
+                   summary_seed: int = 0):
     """Build (once per static config) the jitted vmapped training program.
+
+    ``summary_n_seg > 0`` appends the on-device normative summary
+    (train.normative.member_summary) to each member AFTER its training scan
+    — train + sham statistics + z-score reduction become ONE device program,
+    saving a separate program dispatch (~2-3 s on the remote attachment).
 
     Re-tracing this program costs tens of seconds of client time; caching the
     jitted callable makes repeated launches retrace-free."""
@@ -74,7 +80,7 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_one(Xm_i, Xl_i, n_i, key):
+    def train_one(Xm_i, Xl_i, n_i, key, sham_i=None, subj_i=None):
         params, batch_stats = init_one(key)
         opt_state = tx.init(params)
 
@@ -120,8 +126,19 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         ep_keys = jax.random.split(k_run, epochs)
         (params, batch_stats, _), hist = jax.lax.scan(
             epoch_step, (params, batch_stats, opt_state), (ep_keys, betas))
+        if summary_n_seg > 0:
+            from .normative import member_summary
+            summ = member_summary(
+                module, params, batch_stats, Xm_i, Xl_i, sham_i, subj_i,
+                summary_n_seg, jax.random.PRNGKey(summary_seed),
+                jax.random.PRNGKey(summary_seed + 1))
+            return params, batch_stats, hist, summ
         return params, batch_stats, hist
 
+    if summary_n_seg > 0:
+        return (jax.jit(jax.vmap(train_one,
+                                 in_axes=(0, 0, 0, 0, 0, 0))),
+                module, n_batches)
     return jax.jit(jax.vmap(train_one)), module, n_batches
 
 
@@ -136,7 +153,7 @@ class FleetHandle:
     """
 
     def __init__(self, module, params_T, stats_T, hist_T, epochs, n_batches,
-                 Xm_j=None, Xl_j=None):
+                 Xm_j=None, Xl_j=None, summary_T=None):
         self.module = module
         self.params_T = params_T
         self.stats_T = stats_T
@@ -146,6 +163,9 @@ class FleetHandle:
         # blocks — a 2nd H2D of the cohort costs ~12 s on the remote link
         self.Xm_j = Xm_j
         self.Xl_j = Xl_j
+        # fused normative summary futures (mean_T, std_T, mag_T, prof_T,
+        # counts_T) when the launch requested one (summary_spec)
+        self.summary_T = summary_T
         self._epochs = epochs
         self._n_batches = n_batches
 
@@ -168,21 +188,30 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      latent_dim: int = 10, epochs: int = 40,
                      batch_size: int = 64, lr: float = 2e-4,
                      weight_decay: float = 1e-3, grad_clip: float = 2.0,
-                     seed: int = 42, compute_dtype=None) -> FleetHandle:
+                     seed: int = 42, compute_dtype=None,
+                     summary_spec=None) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
       Xm: (T, n_pad, L, Cm) padded microstructure tensors (pad rows zero).
       Xl: (T, n_pad, L, Cl) lesion tensors.
       n_real: (T,) real row counts per VAE.
+      summary_spec: optional ``(sham_T, subj_idx_T, n_seg, norm_seed)`` —
+        fuses the on-device normative summary into the SAME program
+        (train.normative.member_summary); results appear as
+        ``handle.summary_T``.
     """
     T, n_pad, seq_len, micro_ch = Xm.shape
     lesion_ch = Xl.shape[3]
     assert (n_pad // batch_size) * batch_size == n_pad, \
         "pad the row axis to a multiple of batch_size"
+    n_seg = norm_seed = 0
+    if summary_spec is not None:
+        sham_T, subj_idx_T, n_seg, norm_seed = summary_spec
     program, module, n_batches = _fleet_program(
         n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
-        lr, weight_decay, grad_clip, compute_dtype)
+        lr, weight_decay, grad_clip, compute_dtype, int(n_seg),
+        int(norm_seed))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
     # dataset stays f32: bf16 row-gathers lower very poorly on TPU (measured
@@ -194,6 +223,12 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
 
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
+    if summary_spec is not None:
+        params_T, stats_T, hist_T, summ = program(
+            Xm_j, Xl_j, n_j, keys, jnp.asarray(sham_T, jnp.float32),
+            jnp.asarray(subj_idx_T, jnp.int32))
+        return FleetHandle(module, params_T, stats_T, hist_T, epochs,
+                           n_batches, Xm_j=Xm_j, Xl_j=Xl_j, summary_T=summ)
     params_T, stats_T, hist_T = program(Xm_j, Xl_j, n_j, keys)
     return FleetHandle(module, params_T, stats_T, hist_T, epochs, n_batches,
                        Xm_j=Xm_j, Xl_j=Xl_j)

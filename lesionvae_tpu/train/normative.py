@@ -142,40 +142,50 @@ def normative_zscores_fleet(module, params_T, stats_T, Xm_T, Xl_T,
             np.asarray(mag_T))
 
 
+def member_summary(module, params, stats, Xm, Xl, sham, subj_idx,
+                   n_seg: int, k1, k2):
+    """Traceable single-member normative summary (shared by the standalone
+    fleet-summary program below and the fused train+summarize fleet program
+    in train.batched).
+
+    Identical math to :func:`_fleet_normative_program` per member, but the
+    full z block reduces ON DEVICE to per-subject mean-|z| profiles via a
+    one-hot matmul (rides the MXU); pad rows map to an unused segment."""
+    variables = {"params": params, "batch_stats": stats}
+    xh_a, _, _ = module.apply(variables, Xm, Xl, k1, None, False)
+    xh_a = jnp.nan_to_num(xh_a, nan=0.0)
+    n_sham = jnp.maximum(jnp.sum(sham), 1.0)
+    w = sham[:, None, None]
+    mean_r = jnp.sum(xh_a * w, axis=0) / n_sham
+    var_r = jnp.sum(((xh_a - mean_r) ** 2) * w, axis=0) / n_sham
+    std_r = jnp.maximum(jnp.sqrt(var_r), 1e-6)
+    xh_b, _, _ = module.apply(variables, Xm, Xl, k2, None, False)
+    xh_b = jnp.nan_to_num(xh_b, nan=0.0)
+    z = (Xm - xh_b - mean_r[None]) / std_r[None]
+    z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
+    mag = jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
+    # per-subject mean |z| profile (segment mean over rows, then mean over
+    # features — matches pipeline.vae_run's host aggregation
+    # np.abs(Z[m]).mean(axis=(0, 2)))
+    absz = jnp.mean(jnp.abs(z), axis=2)                  # (n_pad, L)
+    onehot = jax.nn.one_hot(subj_idx, n_seg, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)                      # (n_seg,)
+    prof = (onehot.T @ absz) / jnp.maximum(counts, 1.0)[:, None]
+    return mean_r, std_r, mag, prof, counts
+
+
 @functools.lru_cache(maxsize=8)
 def _fleet_summary_program(module, n_seg: int):
     """Fleet normative program returning HOST-SIZED outputs only.
 
-    Identical math to :func:`_fleet_normative_program`, but the full z-score
-    block (T, n_pad, L, C) — ~GBs at cohort scale — never leaves the device:
-    per-subject mean-|z| profiles are reduced on-device via a one-hot matmul
-    (rides the MXU) and only (T, n_seg, L) profiles + per-row magnitudes are
-    returned.  On a remote-attached chip the D2H link runs at tens of MB/s,
-    so fetching the full block cost ~30-40 s of the cohort wall-clock
-    (measured); the summary is < 10 MB."""
+    The full z-score block (T, n_pad, L, C) — ~GBs at cohort scale — never
+    leaves the device.  On a remote-attached chip the D2H link runs at tens
+    of MB/s, so fetching the full block cost ~30-40 s of the cohort
+    wall-clock (measured); the summary is < 10 MB."""
 
     def one(params, stats, Xm, Xl, sham, subj_idx, k1, k2):
-        variables = {"params": params, "batch_stats": stats}
-        xh_a, _, _ = module.apply(variables, Xm, Xl, k1, None, False)
-        xh_a = jnp.nan_to_num(xh_a, nan=0.0)
-        n_sham = jnp.maximum(jnp.sum(sham), 1.0)
-        w = sham[:, None, None]
-        mean_r = jnp.sum(xh_a * w, axis=0) / n_sham
-        var_r = jnp.sum(((xh_a - mean_r) ** 2) * w, axis=0) / n_sham
-        std_r = jnp.maximum(jnp.sqrt(var_r), 1e-6)
-        xh_b, _, _ = module.apply(variables, Xm, Xl, k2, None, False)
-        xh_b = jnp.nan_to_num(xh_b, nan=0.0)
-        z = (Xm - xh_b - mean_r[None]) / std_r[None]
-        z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
-        mag = jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
-        # per-subject mean |z| profile (segment mean over rows, then mean
-        # over features — matches pipeline.vae_run's host aggregation
-        # np.abs(Z[m]).mean(axis=(0, 2)); pad rows map to segment n_seg-1)
-        absz = jnp.mean(jnp.abs(z), axis=2)                  # (n_pad, L)
-        onehot = jax.nn.one_hot(subj_idx, n_seg, dtype=jnp.float32)
-        counts = jnp.sum(onehot, axis=0)                      # (n_seg,)
-        prof = (onehot.T @ absz) / jnp.maximum(counts, 1.0)[:, None]
-        return mean_r, std_r, mag, prof, counts
+        return member_summary(module, params, stats, Xm, Xl, sham, subj_idx,
+                              n_seg, k1, k2)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None, None)))
 

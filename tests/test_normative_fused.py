@@ -122,3 +122,45 @@ def test_fleet_summary_matches_host_aggregation():
             np.testing.assert_allclose(
                 prof_T[i, s], np.abs(Z_T[i][m]).mean(axis=(0, 2)),
                 rtol=1e-4, atol=1e-5)
+
+
+def test_fused_train_summary_matches_standalone():
+    """launch_many_vaes(summary_spec=...) — train + normative summary as ONE
+    program — must equal the standalone summary on the returned params."""
+    from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
+    from lesionvae_tpu.train.normative import normative_fleet_summary
+
+    rng = np.random.default_rng(4)
+    tensors = [
+        (rng.normal(size=(40, 16, 3)).astype(np.float32),
+         rng.uniform(size=(40, 16, 2)).astype(np.float32)),
+        (rng.normal(size=(25, 16, 3)).astype(np.float32),
+         rng.uniform(size=(25, 16, 2)).astype(np.float32)),
+    ]
+    Xm_T, Xl_T, n_real = pad_datasets(tensors, batch_size=16)
+    n_pad = Xm_T.shape[1]
+    sham_T = np.zeros((2, n_pad), np.float32)
+    sham_T[0, :15] = 1.0
+    sham_T[1, :10] = 1.0
+    n_seg = 4
+    subj_T = np.full((2, n_pad), n_seg - 1, np.int32)
+    for i in range(2):
+        subj_T[i, :n_real[i]] = np.arange(n_real[i]) % 3
+
+    h = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                        batch_size=16, seed=3,
+                        summary_spec=(sham_T, subj_T, n_seg, 7))
+    assert h.summary_T is not None
+    fused = [np.asarray(x) for x in h.summary_T]
+
+    standalone = normative_fleet_summary(
+        h.module, h.params_T, h.stats_T, h.Xm_j, h.Xl_j, sham_T, subj_T,
+        n_seg, seed=7)
+    for f, s in zip(fused, standalone):
+        np.testing.assert_allclose(f, s, rtol=1e-5, atol=1e-6)
+
+    # and training itself is unchanged by the fused summary
+    h0 = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                          batch_size=16, seed=3)
+    np.testing.assert_allclose(np.asarray(h.hist_T), np.asarray(h0.hist_T),
+                               rtol=1e-6)
