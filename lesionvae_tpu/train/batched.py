@@ -89,7 +89,9 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
             k_perm, k_eps = jax.random.split(ep_key)
             # permute INDICES only; each batch gathers its rows directly —
             # one data pass per epoch instead of materializing a shuffled
-            # copy (the shuffle traffic, not the math, bounds fleet speed)
+            # copy.  (An epoch-level materialized shuffle measured EQUAL,
+            # 16.5 vs 16.4 ms/fleet-step bf16 — the step is compute-bound,
+            # not gather-bound, so keep the lower-footprint form.)
             perm = jax.random.permutation(k_perm, n_pad)
             mask_ep = (perm < n_i).astype(jnp.float32)
             rngs = jax.random.split(k_eps, n_batches)

@@ -1,0 +1,78 @@
+"""The bench's fast tensor path must equal the production tensor builder.
+
+bench.fast_profile_tensors reads each per-subject profile CSV once and
+slices per-tract tensors; the production path is one
+build_tensor_with_lesion_context call per (tract, timepoint)
+(train/data.py, reference: src/vae/data_loader.py:27-148).  If they ever
+diverge, the bench times a different computation than the pipeline ships —
+this test pins them together (raw tensors, subject/group metadata, and the
+normalized result)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lesionvae_tpu.io import synth
+from lesionvae_tpu.io.synth import tiny_config
+from lesionvae_tpu.train import data as vdata
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    root = tmp_path_factory.mktemp("benchpath")
+    cfg = tiny_config(n_per_group=2, tracts=["atr_left", "fimbria_right"])
+    synth.generate_cohort(root, cfg, seed=21, n_streamlines=5,
+                          volume_shape=(16, 16, 16), with_profiles=True)
+    return root, cfg
+
+
+def test_fast_profile_tensors_matches_builder(cohort):
+    import bench
+
+    root, cfg = cohort
+    tensor_list, n_subj = bench.fast_profile_tensors(root, cfg)
+    groups_dict = {g: list(s) for g, s in cfg.subjects_by_group().items()}
+    subjects = [s for subs in groups_dict.values() for s in subs]
+    assert n_subj == len(subjects)
+
+    fast = {key: (xm, xl, sham, subj)
+            for key, xm, xl, sham, subj in tensor_list}
+    assert len(fast) == 2 * len(cfg.timepoints)
+
+    for tract in cfg.geometry_tracts:
+        for tp in cfg.timepoints:
+            Xm, Xl, subj_ids, group_labels, _s = \
+                vdata.build_tensor_with_lesion_context(
+                    root, tract, tp, subjects,
+                    cfg.microstructure_features, cfg.lesion_features,
+                    groups_dict)
+            xm_f, xl_f, sham_f, subj_f = fast[(tract, tp)]
+            np.testing.assert_allclose(xm_f, Xm, rtol=1e-6, atol=1e-7,
+                                       err_msg=f"{tract}@{tp} micro")
+            np.testing.assert_allclose(xl_f, Xl, rtol=1e-6, atol=1e-7,
+                                       err_msg=f"{tract}@{tp} lesion")
+            np.testing.assert_array_equal(sham_f, group_labels == "Sham")
+            # fast path uses dense subject indices in cohort enumeration
+            # order; map back to ids and compare
+            order = {}
+            for g, sids in cfg.subjects_by_group().items():
+                for sid in sids:
+                    order.setdefault(sid, len(order))
+            np.testing.assert_array_equal(
+                subj_f, np.asarray([order[s] for s in subj_ids]))
+
+            # and the normalized tensors (what the fleet actually trains on)
+            st_a = vdata.fit_normalization_stats(
+                xm_f, xl_f, cfg.microstructure_features)
+            st_b = vdata.fit_normalization_stats(
+                Xm, Xl, cfg.microstructure_features)
+            for k in st_a:
+                np.testing.assert_allclose(st_a[k], st_b[k], rtol=1e-6)
+            za, la = vdata.apply_normalization(xm_f, xl_f, st_a)
+            zb, lb = vdata.apply_normalization(Xm, Xl, st_b)
+            np.testing.assert_allclose(za, zb, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
