@@ -237,7 +237,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     t0 = time.perf_counter()
     cache = root / f"tensor_cache_{SCALE}"
     use_cache = os.environ.get("BENCH_TENSOR_CACHE", "0") == "1"
-    if use_cache and (cache / "n_real.npy").exists():
+    if use_cache and (cache / "subj_T.npy").exists():
         # raw .npy + mmap: zip-archived npz decompression costs up to 30s on
         # this single-core host; mmap defers the read into the H2D copy
         Xm = np.load(cache / "Xm.npy", mmap_mode="r")
