@@ -212,7 +212,6 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     from lesionvae_tpu.pipeline.geometry_run import launch_geometry
     from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
     from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
-    from lesionvae_tpu.train import data as vdata
 
     out_dir = root / "bench_results"
     epochs = 40 if SCALE == "full" else 5
@@ -235,7 +234,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # cache exists for fast iteration (BENCH_TENSOR_CACHE=1) and is reported
     # as an exclusion in the emitted JSON when used. --------------------------
     t0 = time.perf_counter()
-    cache = root / f"tensor_cache_{SCALE}"
+    cache = root / f"tensor_cache_raw_{SCALE}"  # RAW blocks (norm on device)
     use_cache = os.environ.get("BENCH_TENSOR_CACHE", "0") == "1"
     if use_cache and (cache / "subj_T.npy").exists():
         # raw .npy + mmap: zip-archived npz decompression costs up to 30s on
@@ -250,12 +249,11 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
         log(f"[bench] loaded {len(n_real)} cached VAE datasets")
     else:
         tensor_list, n_subj = fast_profile_tensors(root, cfg)
-        stats = [vdata.fit_normalization_stats(xm, xl,
-                                               cfg.microstructure_features)
-                 for _, xm, xl, _, _ in tensor_list]
-        normed = [vdata.apply_normalization(xm, xl, st)
-                  for (_, xm, xl, _, _), st in zip(tensor_list, stats)]
-        Xm, Xl, n_real = pad_datasets(normed, batch_size=64)
+        # RAW blocks: fit+apply normalization runs INSIDE the fleet program
+        # (train.data.normalize_on_device) — the reference stage
+        # normalization.py:8-69 on the TPU instead of ~2 s of 1-core host
+        Xm, Xl, n_real = pad_datasets(
+            [(xm, xl) for _, xm, xl, _, _ in tensor_list], batch_size=64)
         sham_T = np.zeros(Xm.shape[:2], np.float32)
         subj_T = np.full(Xm.shape[:2], n_subj, np.int32)  # pad seg = n_subj
         for i, (_, _, _, sham_rows, subj_rows) in enumerate(tensor_list):
@@ -296,7 +294,8 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     handle = launch_many_vaes(
         Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
         seed=42, compute_dtype=fleet_dtype,
-        summary_spec=(sham_T, subj_T, n_subj + 1, 42))
+        summary_spec=(sham_T, subj_T, n_subj + 1, 42),
+        normalize_on_device=True)
     log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
     # ---- stage 5: geometry finish (device work already done/overlapped;

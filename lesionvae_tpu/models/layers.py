@@ -98,6 +98,16 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        if out_dtype == jnp.bfloat16:
+            # mixed precision: fold mean/var/affine into one per-channel
+            # scale+shift (computed in f32, applied in bf16) — avoids
+            # materializing f32 activations and the bf16↔f32 relayouts
+            # around every BN, which dominated the bf16 fleet step.  Only
+            # the rounding inside the affine differs from the exact form;
+            # the f32 path below keeps the reference-exact formula.
+            a = gamma / jnp.sqrt(var + self.eps)
+            b = beta - mean * a
+            return x * a.astype(out_dtype) + b.astype(out_dtype)
         y = (x32 - mean) / jnp.sqrt(var + self.eps)
         return (y * gamma + beta).astype(out_dtype)
 

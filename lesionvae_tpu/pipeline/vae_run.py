@@ -198,11 +198,10 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                 except ValueError as e:
                     log.warning("%s", e)
                     continue
-                stats = vdata.fit_normalization_stats(
-                    Xm, Xl, list(config.microstructure_features))
-                Xz, Xl = vdata.apply_normalization(Xm, Xl, stats)
+                # RAW tensors: normalization (fit+apply) runs inside the
+                # fleet program (train.data.normalize_on_device)
                 keys.append((tract, tp))
-                tensors.append((Xz, Xl))
+                tensors.append((Xm, Xl))
                 meta.append((subj_ids, group_labels))
 
     if not tensors:
@@ -221,13 +220,15 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
             sham_T[i, :n_real[i]] = (group_labels == "Sham")
             subj_idx_T[i, :n_real[i]] = np.searchsorted(uniq_subj[i],
                                                         subj_ids)
-        # training + normative summary fused into ONE device program
+        # normalization + training + normative summary fused into ONE
+        # device program
         handle = launch_many_vaes(Xm_all, Xl_all, n_real,
                                   latent_dim=latent_dim, epochs=epochs,
                                   batch_size=batch_size, lr=lr, seed=seed,
                                   compute_dtype=compute_dtype,
                                   summary_spec=(sham_T, subj_idx_T, n_seg,
-                                                seed))
+                                                seed),
+                                  normalize_on_device=True)
         models, hist = handle.fetch()
 
     with stage("vae_cohort.normative"):

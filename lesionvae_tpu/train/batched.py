@@ -38,13 +38,19 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                    latent_dim: int, epochs: int, batch_size: int, lr: float,
                    weight_decay: float, grad_clip: float,
                    compute_dtype=None, summary_n_seg: int = 0,
-                   summary_seed: int = 0):
+                   summary_seed: int = 0, normalize: bool = False):
     """Build (once per static config) the jitted vmapped training program.
 
     ``summary_n_seg > 0`` appends the on-device normative summary
     (train.normative.member_summary) to each member AFTER its training scan
     — train + sham statistics + z-score reduction become ONE device program,
     saving a separate program dispatch (~2-3 s on the remote attachment).
+
+    ``normalize`` prepends the reference's normalization stage
+    (train.data.normalize_on_device): members receive RAW tensors and the
+    program fits median/mean/std over real rows, imputes, z-scores and
+    clamps on device — the host never touches the data after the CSV parse.
+    The normalized blocks and per-member stats become extra outputs.
 
     Re-tracing this program costs tens of seconds of client time; caching the
     jitted callable makes repeated launches retrace-free."""
@@ -81,6 +87,9 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_one(Xm_i, Xl_i, n_i, key, sham_i=None, subj_i=None):
+        if normalize:
+            from .data import normalize_on_device
+            Xm_i, Xl_i, norm_stats = normalize_on_device(Xm_i, Xl_i, n_i)
         params, batch_stats = init_one(key)
         opt_state = tx.init(params)
 
@@ -128,14 +137,17 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         ep_keys = jax.random.split(k_run, epochs)
         (params, batch_stats, _), hist = jax.lax.scan(
             epoch_step, (params, batch_stats, opt_state), (ep_keys, betas))
+        out = (params, batch_stats, hist)
         if summary_n_seg > 0:
             from .normative import member_summary
             summ = member_summary(
                 module, params, batch_stats, Xm_i, Xl_i, sham_i, subj_i,
                 summary_n_seg, jax.random.PRNGKey(summary_seed),
                 jax.random.PRNGKey(summary_seed + 1))
-            return params, batch_stats, hist, summ
-        return params, batch_stats, hist
+            out = out + (summ,)
+        if normalize:
+            out = out + (Xm_i, Xl_i, norm_stats)
+        return out
 
     if summary_n_seg > 0:
         return (jax.jit(jax.vmap(train_one,
@@ -168,6 +180,8 @@ class FleetHandle:
         # fused normative summary futures (mean_T, std_T, mag_T, prof_T,
         # counts_T) when the launch requested one (summary_spec)
         self.summary_T = summary_T
+        # per-member data-normalization stats when normalize_on_device
+        self.norm_stats_T = None
         self._epochs = epochs
         self._n_batches = n_batches
 
@@ -191,7 +205,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      batch_size: int = 64, lr: float = 2e-4,
                      weight_decay: float = 1e-3, grad_clip: float = 2.0,
                      seed: int = 42, compute_dtype=None,
-                     summary_spec=None) -> FleetHandle:
+                     summary_spec=None,
+                     normalize_on_device: bool = False) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -202,6 +217,11 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         fuses the on-device normative summary into the SAME program
         (train.normative.member_summary); results appear as
         ``handle.summary_T``.
+      normalize_on_device: treat Xm/Xl as RAW tensors and run the
+        reference's fit+apply normalization inside the program
+        (train.data.normalize_on_device).  ``handle.Xm_j``/``Xl_j`` then
+        hold the device-resident NORMALIZED blocks and
+        ``handle.norm_stats_T`` the per-member {median, mean, std}.
     """
     T, n_pad, seq_len, micro_ch = Xm.shape
     lesion_ch = Xl.shape[3]
@@ -213,27 +233,39 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
     program, module, n_batches = _fleet_program(
         n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
         lr, weight_decay, grad_clip, compute_dtype, int(n_seg),
-        int(norm_seed))
+        int(norm_seed), bool(normalize_on_device))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
     # dataset stays f32: bf16 row-gathers lower very poorly on TPU (measured
     # 2x slower than the f32 program); the model casts to the compute dtype
     # after the batch gather instead
-    Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
-    Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
+    if normalize_on_device:
+        # keep non-finite values: the in-program normalization must see them
+        # to median-impute exactly like the reference (normalization.py:54)
+        Xm_j = jnp.asarray(Xm, jnp.float32)
+        Xl_j = jnp.asarray(Xl, jnp.float32)
+    else:
+        Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
+        Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
     n_j = jnp.asarray(n_real, jnp.int32)
 
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
     if summary_spec is not None:
-        params_T, stats_T, hist_T, summ = program(
-            Xm_j, Xl_j, n_j, keys, jnp.asarray(sham_T, jnp.float32),
-            jnp.asarray(subj_idx_T, jnp.int32))
-        return FleetHandle(module, params_T, stats_T, hist_T, epochs,
-                           n_batches, Xm_j=Xm_j, Xl_j=Xl_j, summary_T=summ)
-    params_T, stats_T, hist_T = program(Xm_j, Xl_j, n_j, keys)
-    return FleetHandle(module, params_T, stats_T, hist_T, epochs, n_batches,
-                       Xm_j=Xm_j, Xl_j=Xl_j)
+        out = program(Xm_j, Xl_j, n_j, keys,
+                      jnp.asarray(sham_T, jnp.float32),
+                      jnp.asarray(subj_idx_T, jnp.int32))
+    else:
+        out = program(Xm_j, Xl_j, n_j, keys)
+    params_T, stats_T, hist_T = out[:3]
+    summ = out[3] if summary_spec is not None else None
+    norm_stats_T = None
+    if normalize_on_device:
+        Xm_j, Xl_j, norm_stats_T = out[-3:]
+    handle = FleetHandle(module, params_T, stats_T, hist_T, epochs,
+                         n_batches, Xm_j=Xm_j, Xl_j=Xl_j, summary_T=summ)
+    handle.norm_stats_T = norm_stats_T
+    return handle
 
 
 def train_many_vaes(Xm, Xl, n_real, **kwargs):

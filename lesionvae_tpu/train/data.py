@@ -164,3 +164,44 @@ def apply_normalization(X_micro: np.ndarray, X_lesion: np.ndarray,
     else:
         X_lesion = np.nan_to_num(X_lesion, nan=0.0).astype(np.float32)
     return Xz, X_lesion
+
+
+def normalize_on_device(Xm_i, Xl_i, n_i):
+    """Traceable fit+apply normalization for one padded fleet member.
+
+    JAX twin of :func:`fit_normalization_stats` + :func:`apply_normalization`
+    (reference: normalization.py:8-69) over the REAL rows (< ``n_i``) of a
+    padded ``(n_pad, L, C)`` block: per-feature median/mean/std over finite
+    values, median-impute non-finite, z-score, clamp ±1e6.  Runs inside the
+    fleet training program (train.batched ``normalize_on_device=True``) so
+    the raw tensors upload once and the whole reference data-prep stage
+    stays on the TPU.  np.median semantics (mean of the two middle order
+    statistics) are reproduced via a masked sort.
+
+    Returns ``(Xz, Xl, stats)`` with ``stats = {"median","mean","std"}``.
+    """
+    import jax.numpy as jnp
+
+    n_pad, L, C = Xm_i.shape
+    X = Xm_i.reshape(-1, C)
+    row_real = (jnp.arange(n_pad) < n_i)
+    valid = jnp.repeat(row_real, L)[:, None] & jnp.isfinite(X)
+    cnt = jnp.maximum(jnp.sum(valid, axis=0), 1)
+
+    Xz0 = jnp.where(valid, X, 0.0)
+    mean = jnp.sum(Xz0, axis=0) / cnt
+    var = jnp.sum(jnp.where(valid, (X - mean) ** 2, 0.0), axis=0) / cnt
+    std = jnp.maximum(jnp.sqrt(var), 1e-6)
+
+    # median over valid entries: invalid -> +inf sorts to the tail
+    Xs = jnp.sort(jnp.where(valid, X, jnp.inf), axis=0)
+    m1 = jnp.take_along_axis(Xs, ((cnt - 1) // 2)[None, :], axis=0)[0]
+    m2 = jnp.take_along_axis(Xs, (cnt // 2)[None, :], axis=0)[0]
+    med = 0.5 * (m1 + m2)
+
+    fin = jnp.isfinite(Xm_i)
+    Xc = jnp.where(fin, Xm_i, med[None, None, :])
+    Xz = jnp.clip((Xc - mean[None, None, :]) / std[None, None, :],
+                  -1e6, 1e6)
+    Xl = jnp.nan_to_num(Xl_i, nan=0.0)
+    return Xz, Xl, {"median": med, "mean": mean, "std": std}

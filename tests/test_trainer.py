@@ -113,3 +113,52 @@ def test_build_tensor_from_synth_csvs(tmp_path):
     # lesion_distance scaled into [0, 1]
     assert Xl[:, :, 2].min() >= 0 and Xl[:, :, 2].max() <= 1.0
     assert s.shape == (100,)
+
+
+def test_normalize_on_device_matches_host():
+    """In-program normalization (train.data.normalize_on_device) == host
+    fit_normalization_stats + apply_normalization, and training on raw
+    tensors with the flag == training on host-normalized tensors."""
+    import jax.numpy as jnp
+
+    from lesionvae_tpu.train import data as vdata
+    from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
+
+    rng = np.random.default_rng(9)
+    raw = []
+    for n in (40, 25):
+        xm = rng.normal(size=(n, 16, 3)).astype(np.float32) * 7 + 2
+        xm[rng.uniform(size=xm.shape) < 0.03] = np.nan  # non-finite sites
+        xm[0, 0, 0] = np.inf
+        xl = rng.uniform(size=(n, 16, 2)).astype(np.float32)
+        raw.append((xm, xl))
+
+    # direct function parity on one padded member
+    Xm_T, Xl_T, n_real = pad_datasets(raw, batch_size=16)
+    for i, (xm, xl) in enumerate(raw):
+        st = vdata.fit_normalization_stats(xm, xl, ["a", "b", "c"])
+        xz_h, xl_h = vdata.apply_normalization(xm, xl, st)
+        xz_d, xl_d, st_d = vdata.normalize_on_device(
+            jnp.asarray(Xm_T[i]), jnp.asarray(Xl_T[i]), n_real[i])
+        for k in ("median", "mean", "std"):
+            np.testing.assert_allclose(np.asarray(st_d[k]), st[k],
+                                       rtol=2e-5, atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(np.asarray(xz_d)[:n_real[i]], xz_h,
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(xl_d)[:n_real[i]], xl_h,
+                                   rtol=1e-6, atol=1e-7)
+
+    # end-to-end: training histories agree (pad rows normalize differently
+    # but are masked out of every loss/stat)
+    normed = [vdata.apply_normalization(
+        xm, xl, vdata.fit_normalization_stats(xm, xl, ["a", "b", "c"]))
+        for xm, xl in raw]
+    Xmn, Xln, _ = pad_datasets(normed, batch_size=16)
+    h_dev = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                             batch_size=16, seed=3, normalize_on_device=True)
+    h_host = launch_many_vaes(Xmn, Xln, n_real, latent_dim=2, epochs=2,
+                              batch_size=16, seed=3)
+    assert h_dev.norm_stats_T is not None
+    np.testing.assert_allclose(np.asarray(h_dev.hist_T),
+                               np.asarray(h_host.hist_T), rtol=1e-3,
+                               atol=1e-5)
