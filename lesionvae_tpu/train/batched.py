@@ -206,7 +206,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      weight_decay: float = 1e-3, grad_clip: float = 2.0,
                      seed: int = 42, compute_dtype=None,
                      summary_spec=None,
-                     normalize_on_device: bool = False) -> FleetHandle:
+                     normalize_on_device: bool = False,
+                     mesh=None) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -222,6 +223,13 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         (train.data.normalize_on_device).  ``handle.Xm_j``/``Xl_j`` then
         hold the device-resident NORMALIZED blocks and
         ``handle.norm_stats_T`` the per-member {median, mean, std}.
+      mesh: optional jax.sharding.Mesh — shard the MEMBER axis T over the
+        mesh's ``data`` axis ("fleet parallelism": each device trains its
+        own slice of independent VAEs, zero collectives, scaling the cohort
+        linearly with chips; T must divide the data-axis size).  This is
+        the cohort's natural multi-chip axis — members are independent
+        models, so XLA partitions the whole program without communication
+        (SURVEY.md §5.7/§5.8).
     """
     T, n_pad, seq_len, micro_ch = Xm.shape
     lesion_ch = Xl.shape[3]
@@ -248,13 +256,27 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
         Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
     n_j = jnp.asarray(n_real, jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+        n_data = mesh.shape["data"]
+        if T % n_data != 0:
+            raise ValueError(f"fleet size {T} not divisible by the mesh's "
+                             f"data axis ({n_data})")
+        member_sh = NamedSharding(mesh, PSpec("data"))
+        Xm_j = jax.device_put(Xm_j, member_sh)
+        Xl_j = jax.device_put(Xl_j, member_sh)
+        n_j = jax.device_put(n_j, member_sh)
+        keys = jax.device_put(keys, member_sh)
 
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
     if summary_spec is not None:
-        out = program(Xm_j, Xl_j, n_j, keys,
-                      jnp.asarray(sham_T, jnp.float32),
-                      jnp.asarray(subj_idx_T, jnp.int32))
+        sham_j = jnp.asarray(sham_T, jnp.float32)
+        subj_j = jnp.asarray(subj_idx_T, jnp.int32)
+        if mesh is not None:
+            sham_j = jax.device_put(sham_j, member_sh)
+            subj_j = jax.device_put(subj_j, member_sh)
+        out = program(Xm_j, Xl_j, n_j, keys, sham_j, subj_j)
     else:
         out = program(Xm_j, Xl_j, n_j, keys)
     params_T, stats_T, hist_T = out[:3]

@@ -66,3 +66,42 @@ def test_batched_bundle_metrics_sharded_matches(rng):
     for a, b in zip(plain, sharded):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+
+
+def test_fleet_member_sharding_matches_single_device(rng):
+    """Fleet parallelism: sharding the MEMBER axis over the mesh's data
+    axis trains identical models (members are independent — XLA partitions
+    with zero collectives)."""
+    from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
+
+    tensors = [
+        (rng.normal(size=(24, 12, 3)).astype(np.float32),
+         rng.uniform(size=(24, 12, 2)).astype(np.float32))
+        for _ in range(8)
+    ]
+    Xm_T, Xl_T, n_real = pad_datasets(tensors, batch_size=8)
+    n_pad = Xm_T.shape[1]
+    sham_T = np.zeros((8, n_pad), np.float32)
+    sham_T[:, :6] = 1.0
+    subj_T = np.full((8, n_pad), 3, np.int32)
+    subj_T[:, :n_real[0]] = np.arange(n_real[0]) % 3
+
+    mesh = make_mesh(8)
+    h_sh = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                            batch_size=8, seed=5,
+                            summary_spec=(sham_T, subj_T, 4, 5),
+                            normalize_on_device=True, mesh=mesh)
+    h_1 = launch_many_vaes(Xm_T, Xl_T, n_real, latent_dim=2, epochs=2,
+                           batch_size=8, seed=5,
+                           summary_spec=(sham_T, subj_T, 4, 5),
+                           normalize_on_device=True)
+    np.testing.assert_allclose(np.asarray(h_sh.hist_T),
+                               np.asarray(h_1.hist_T), rtol=1e-5, atol=1e-6)
+    for a, b in zip(h_sh.summary_T, h_1.summary_T):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # indivisible fleet size is rejected up front
+    with pytest.raises(ValueError):
+        launch_many_vaes(Xm_T[:6], Xl_T[:6], n_real[:6], latent_dim=2,
+                         epochs=1, batch_size=8, seed=5, mesh=mesh)
