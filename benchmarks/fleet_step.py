@@ -159,7 +159,17 @@ def bench_train(module, tx, Xm, Xl, params, stats, opt_state):
 def bench_scan(module, tx, Xm, Xl, params, stats, opt_state, *, what="full",
                n_steps=int(os.environ.get("FLEET_STEPS", "30")), unroll=1):
     """Time the step INSIDE a lax.scan (the production structure) with
-    increasing amounts of the real body, to localize the scan slowdown."""
+    increasing amounts of the real body, to localize the scan slowdown.
+
+    Ablation results (v5e, bf16, 600 steps): carry 0.14 | fwd 2.44 |
+    fwdbwd 7.27 | noselect 16.02 | full 16.03 ms/fleet-step.  CAVEAT: the
+    carry/fwd/fwdbwd modes keep params CONSTANT across scan steps, so XLA
+    hoists weight-dependent transforms out of the loop — they are lower
+    bounds, not honest stage costs.  What the full-vs-noselect pair does
+    establish: the finite-loss select is free, and a hand-fused single-pass
+    Adam (train.trainer.make_optimizer) measures identical to the optax
+    chain — the real step is model-compute-bound, and the remaining lever
+    is a fused Pallas fwd+bwd of the model itself."""
     loss_fn = make_loss(module)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -207,16 +217,21 @@ def bench_scan(module, tx, Xm, Xl, params, stats, opt_state, *, what="full",
     # with a constant key report impossible times (observed r2)
     out = run(Xm, Xl, params, stats, opt_state,
               jax.random.split(jax.random.PRNGKey(0), T))
-    jax.block_until_ready(out)
+    np.asarray(out)  # fetch = the only reliable completion barrier here
     n_rep = 3
     t0 = time.perf_counter()
     for r in range(1, n_rep + 1):
         out = run(Xm, Xl, params, stats, opt_state,
                   jax.random.split(jax.random.PRNGKey(r), T))
-    jax.block_until_ready(out)
+    # np.asarray, NOT block_until_ready: on the remote attachment
+    # block_until_ready on a small output returns before the program has
+    # actually executed (observed 0.00 ms "timings"); a D2H fetch is the
+    # only reliable completion barrier
+    vals = np.asarray(out)
     dt = (time.perf_counter() - t0) / n_rep
     log(f"[scan-{what} u{unroll}] {dt / n_steps * 1e3:.2f} ms/fleet-step "
-        f"({n_steps} steps, {T * n_steps / dt:.0f} member-steps/s)")
+        f"({n_steps} steps, {T * n_steps / dt:.0f} member-steps/s, "
+        f"mean_out={float(vals.mean()):.4f})")
 
 
 def main():

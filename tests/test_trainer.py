@@ -162,3 +162,34 @@ def test_normalize_on_device_matches_host():
     np.testing.assert_allclose(np.asarray(h_dev.hist_T),
                                np.asarray(h_host.hist_T), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_fused_optimizer_matches_optax_chain():
+    """make_optimizer (single-pass fused clip→decay→Adam→scale) must equal
+    the optax chain oracle step-for-step on a multi-step trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from lesionvae_tpu.train.trainer import (make_optimizer,
+                                             make_optimizer_reference)
+
+    rng = np.random.default_rng(11)
+    params = {"w": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
+              "b": {"x": jnp.asarray(rng.normal(size=(5,)), jnp.float32)}}
+    fused = make_optimizer(2e-4, 1e-3, 2.0)
+    ref = make_optimizer_reference(2e-4, 1e-3, 2.0)
+    sf, sr = fused.init(params), ref.init(params)
+    pf = pr = params
+    for step in range(5):
+        scale = 100.0 if step in (1, 3) else 0.1  # above + below the clip
+        g = {"w": jnp.asarray(rng.normal(size=(7, 5)) * scale, jnp.float32),
+             "b": {"x": jnp.asarray(rng.normal(size=(5,)) * scale,
+                                    jnp.float32)}}
+        uf, sf = fused.update(g, sf, pf)
+        ur, sr = ref.update(g, sr, pr)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-8), uf, ur)
+        pf = jax.tree.map(lambda p, u: p + u, pf, uf)
+        pr = jax.tree.map(lambda p, u: p + u, pr, ur)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-6, atol=1e-8), pf, pr)
