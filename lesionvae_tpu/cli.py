@@ -77,6 +77,13 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--save-z", action="store_true",
+                   help="also fetch + store the full per-streamline z-score "
+                        "block per member (large D2H; default keeps z on "
+                        "device and stores per-subject summaries)")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="fleet compute dtype (bf16 = mixed precision, "
+                        "~1.5x faster, curve within 10%% of f32)")
 
     p = sub.add_parser("classify", help="TBI-vs-PTE classification")
     _add_common(p)
@@ -133,12 +140,16 @@ def main(argv=None) -> int:
                          seed=args.seed, make_plots=not args.no_plots)
 
     elif args.stage == "vae-cohort":
+        import jax.numpy as jnp
+
         from .pipeline.vae_run import run_vae_cohort
         tracts = args.tracts or list(config.geometry_tracts)
         run_vae_cohort(tracts, latent_dim=args.latent_dim, epochs=args.epochs,
                        batch_size=args.batch_size, lr=args.lr, config=config,
                        base_path=base, output_dir=out_root / "vae_cohort",
-                       seed=args.seed)
+                       seed=args.seed, save_z=args.save_z,
+                       compute_dtype=(jnp.bfloat16 if args.dtype == "bf16"
+                                      else None))
 
     elif args.stage == "classify":
         from .pipeline.classification import run_classification
