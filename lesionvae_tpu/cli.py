@@ -84,6 +84,10 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                    help="fleet compute dtype (bf16 = mixed precision, "
                         "~1.5x faster, curve within 10%% of f32)")
+    p.add_argument("--save-checkpoints", action="store_true",
+                   help="checkpoint every member (orbax) incl. its "
+                        "normalization stats — serving bundles for the "
+                        "score subcommand")
 
     p = sub.add_parser("classify", help="TBI-vs-PTE classification")
     _add_common(p)
@@ -103,6 +107,20 @@ def main(argv=None) -> int:
                         "(run_vae_cohort) as part of the pipeline")
     p.add_argument("--epochs", type=int, default=40,
                    help="VAE epochs when --with-vae is set")
+
+    p = sub.add_parser("score",
+                       help="serving: z-score subjects against a "
+                            "checkpointed normative model (no retraining)")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True,
+                   help="directory written by train.checkpoint.save_vae "
+                        "(e.g. vae_cohort/checkpoints/<tract>_<tp>)")
+    p.add_argument("--normative", required=True,
+                   help="zscores_*.npz holding norm_mean/norm_std")
+    p.add_argument("--tract", required=True)
+    p.add_argument("--timepoint", required=True)
+    p.add_argument("--subjects", nargs="*", default=None,
+                   help="default: all config subjects")
 
     p = sub.add_parser("synth", help="generate a synthetic cohort")
     _add_common(p)
@@ -149,7 +167,8 @@ def main(argv=None) -> int:
                        base_path=base, output_dir=out_root / "vae_cohort",
                        seed=args.seed, save_z=args.save_z,
                        compute_dtype=(jnp.bfloat16 if args.dtype == "bf16"
-                                      else None))
+                                      else None),
+                       save_checkpoints=args.save_checkpoints)
 
     elif args.stage == "classify":
         from .pipeline.classification import run_classification
@@ -189,6 +208,20 @@ def main(argv=None) -> int:
         run_correlation(les_dir / "lesion_sh_heme_comprehensive.csv",
                         geo_dir / "comprehensive_tract_geometry_metrics.csv",
                         out_root / "lesion_tract_correlations")
+
+    elif args.stage == "score":
+        from .pipeline.infer import load_normative, score_subjects
+        norm = load_normative(args.normative)
+        subjects = args.subjects or [
+            s for subs in config.subjects_by_group().values() for s in subs]
+        summary = score_subjects(args.checkpoint, norm["mean"], norm["std"],
+                                 base, args.tract, args.timepoint, subjects,
+                                 config=config, seed=args.seed)
+        out = out_root / "serving"
+        out.mkdir(parents=True, exist_ok=True)
+        csv = out / f"scores_{args.tract}_{args.timepoint}.csv"
+        summary.to_csv(csv, index=False)
+        log.info("wrote %d subject scores -> %s", len(summary), csv)
 
     elif args.stage == "synth":
         from .io.synth import generate_cohort

@@ -156,7 +156,8 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                    timepoints: Optional[Sequence[str]] = None,
                    output_dir: str | Path | None = None,
                    seed: int = 42, save_z: bool = False,
-                   compute_dtype=None) -> Dict[tuple, dict]:
+                   compute_dtype=None,
+                   save_checkpoints: bool = False) -> Dict[tuple, dict]:
     """Train the whole (tract x timepoint) VAE fleet CONCURRENTLY (one
     vmapped device program, train.batched) and compute normative z-scores
     per member — the production cohort path; the reference can only train
@@ -265,6 +266,16 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                 entry["Z"] = Z_T[i, :n_i]
             np.savez_compressed(output_dir / f"zscores_{tract}_{tp}.npz",
                                 **payload)
+        if save_checkpoints:
+            # member checkpoint incl. its data-normalization stats — the
+            # full serving bundle for pipeline.infer.score_subjects
+            from ..train.checkpoint import save_vae
+            member_norm = None
+            if handle.norm_stats_T is not None:
+                member_norm = {k: np.asarray(v[i])
+                               for k, v in handle.norm_stats_T.items()}
+            save_vae(output_dir / "checkpoints" / f"{tract}_{tp}",
+                     models[i], norm_stats=member_norm)
         results[key] = entry
 
     log.info("VAE cohort complete: %d members → %s", len(results), output_dir)
