@@ -133,3 +133,20 @@ def test_decompress_vtk_if_needed(tmp_path):
     plain = tmp_path / "plain_curves.vtk"
     vtk.write_vtk_polylines(plain, sl, binary=True)
     assert decompress_vtk_if_needed(plain) == plain
+
+
+def test_launch_geometry_equals_sync(cohort, tmp_path):
+    """The async launch/finish split (used by the bench to overlap device
+    work with the tensor build) must produce the sync stage's exact CSVs."""
+    cfg, root = cohort
+    df_sync = geometry_run.run_geometry(cfg, data_dir=root / "data",
+                                        output_dir=tmp_path / "sync",
+                                        max_streamlines=50)
+    finish = geometry_run.launch_geometry(cfg, data_dir=root / "data",
+                                          output_dir=tmp_path / "async",
+                                          max_streamlines=50)
+    df_async = finish()
+    pd.testing.assert_frame_equal(df_async, df_sync)
+    a = (tmp_path / "async" / "comprehensive_tract_geometry_metrics.csv")
+    s = (tmp_path / "sync" / "comprehensive_tract_geometry_metrics.csv")
+    assert a.read_bytes() == s.read_bytes()
