@@ -33,7 +33,7 @@ from ..utils.profiling import stage
 
 log = get_logger("geometry")
 
-_BUCKET_MIN = 64     # smallest padded point-count bucket
+_BUCKET_MIN = 32     # smallest padded point-count bucket
 _CHUNK_S = 32768     # fixed batch-axis size per device call
 
 # Shape discipline: remote-attached TPUs pay ~seconds of executable
@@ -43,7 +43,16 @@ _CHUNK_S = 32768     # fixed batch-axis size per device call
 
 
 def _bucket_P(n: int) -> int:
-    b = _BUCKET_MIN
+    """Padded point-count bucket: multiples of 16 up to 128 (halves the
+    ~37% pad waste of pure power-of-2 buckets on typical ~40-60-point
+    streamlines — the padded points are H2D bytes on a tens-of-MB/s link),
+    powers of two beyond (bounded program count for long-streamline data).
+    """
+    if n <= _BUCKET_MIN:
+        return _BUCKET_MIN
+    if n <= 128:
+        return -(-n // 16) * 16
+    b = 128
     while b < n:
         b *= 2
     return b
