@@ -33,6 +33,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data-dir", default=None)
     p.add_argument("--output-dir", default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--trace", nargs="?", const="/tmp/lesionvae_trace",
+                   default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the stage to DIR "
+                        "(view with TensorBoard/XProf)")
 
 
 def _resolve(args):
@@ -130,6 +134,15 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     config, base, data_dir, out_root = _resolve(args)
     t0 = time.perf_counter()
+    # optional jax.profiler trace around the whole stage (--trace [DIR]);
+    # entered here / exited after dispatch rather than via `with` to keep
+    # the stage dispatch flat — on an uncaught exception the process exits
+    # and the partial trace is still on disk
+    _tracer = None
+    if args.trace:
+        from .utils import profiling as _prof
+        _tracer = _prof.trace(args.trace)
+        _tracer.__enter__()
 
     if args.stage == "geometry":
         from .pipeline.geometry_run import run_geometry
@@ -229,6 +242,8 @@ def main(argv=None) -> int:
                         n_streamlines=args.n_streamlines,
                         volume_shape=(args.volume,) * 3)
 
+    if _tracer is not None:
+        _tracer.__exit__(None, None, None)
     log.info("stage %s done in %.2fs", args.stage, time.perf_counter() - t0)
 
     # per-stage wall-clock table (utils/profiling records every pipeline

@@ -150,3 +150,25 @@ def test_launch_geometry_equals_sync(cohort, tmp_path):
     a = (tmp_path / "async" / "comprehensive_tract_geometry_metrics.csv")
     s = (tmp_path / "sync" / "comprehensive_tract_geometry_metrics.csv")
     assert a.read_bytes() == s.read_bytes()
+
+
+def test_cli_trace_flag(cohort, tmp_path):
+    """--trace writes a jax.profiler trace of the stage (the profiling
+    module's trace() wrapper is part of the CLI surface, SURVEY §5.1)."""
+    cfg, root = cohort
+    import json as _json
+
+    from lesionvae_tpu import cli
+
+    cfg_path = tmp_path / "cfg.json"
+    d = cfg.to_json_dict()
+    d["base_path"] = str(root)
+    d["geometry_tracts"] = list(cfg.geometry_tracts)
+    cfg_path.write_text(_json.dumps(d))
+    trace_dir = tmp_path / "trace"
+    assert cli.main(["geometry", "--config", str(cfg_path),
+                     "--data-dir", str(root / "data"),
+                     "--output-dir", str(tmp_path / "out"),
+                     "--max-streamlines", "10",
+                     "--trace", str(trace_dir)]) == 0
+    assert any(trace_dir.rglob("*")), "trace dir is empty"
