@@ -76,3 +76,36 @@ def test_fast_profile_tensors_matches_builder(cohort):
             zb, lb = vdata.apply_normalization(Xm, Xl, st_b)
             np.testing.assert_allclose(za, zb, rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
+
+
+def test_fast_profile_tensors_fallback_paths(cohort, monkeypatch):
+    """The pyarrow and pandas fallbacks must produce the same tensors as
+    the native parser (the bench must stay correct on hosts without the
+    native lib or pyarrow)."""
+    import bench
+    from lesionvae_tpu.io import profiles_native
+
+    root, cfg = cohort
+    ref, n_ref = bench.fast_profile_tensors(root, cfg)
+
+    monkeypatch.setattr(profiles_native, "available", lambda: False)
+    pa_list, n_pa = bench.fast_profile_tensors(root, cfg)
+
+    import pyarrow
+    real_import = __builtins__["__import__"] if isinstance(
+        __builtins__, dict) else __builtins__.__import__
+
+    def no_pyarrow(name, *a, **k):
+        if name.startswith("pyarrow"):
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr("builtins.__import__", no_pyarrow)
+    pd_list, n_pd = bench.fast_profile_tensors(root, cfg)
+
+    assert n_ref == n_pa == n_pd
+    for (k1, *a), (k2, *b), (k3, *c) in zip(ref, pa_list, pd_list):
+        assert k1 == k2 == k3
+        for x, y, z in zip(a, b, c):
+            np.testing.assert_allclose(y, x, rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(z, x, rtol=1e-6, atol=1e-7)
