@@ -16,6 +16,7 @@ takes explicit flags with config-file defaults.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +26,15 @@ from .utils import profiling
 from .utils.logging import get_logger
 
 log = get_logger("cli")
+
+# Honor JAX_PLATFORMS through the config API: plugin backends (e.g. the
+# remote axon TPU attachment) override the plain env var during discovery,
+# so `JAX_PLATFORMS=cpu python -m lesionvae_tpu ...` would silently attach
+# the TPU without this (tests/conftest.py applies the same fix for pytest).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _add_common(p: argparse.ArgumentParser):
@@ -135,115 +145,119 @@ def main(argv=None) -> int:
     config, base, data_dir, out_root = _resolve(args)
     t0 = time.perf_counter()
     # optional jax.profiler trace around the whole stage (--trace [DIR]);
-    # entered here / exited after dispatch rather than via `with` to keep
-    # the stage dispatch flat — on an uncaught exception the process exits
-    # and the partial trace is still on disk
+    # stopped in the finally below so the partial trace lands on disk and
+    # the profiler state is clean even when a stage raises
     _tracer = None
     if args.trace:
         from .utils import profiling as _prof
         _tracer = _prof.trace(args.trace)
         _tracer.__enter__()
 
-    if args.stage == "geometry":
-        from .pipeline.geometry_run import run_geometry
-        run_geometry(config, data_dir,
-                     out_root / "comprehensive_tract_geometry",
-                     max_streamlines=args.max_streamlines)
+    try:
+        if args.stage == "geometry":
+            from .pipeline.geometry_run import run_geometry
+            run_geometry(config, data_dir,
+                         out_root / "comprehensive_tract_geometry",
+                         max_streamlines=args.max_streamlines)
 
-    elif args.stage == "lesion":
-        from .pipeline.lesion_run import (run_lesion_analysis,
-                                          run_lesion_shape_descriptors)
-        if args.strict:
-            run_lesion_shape_descriptors(
-                config, data_dir, out_root / "lesion_sh_descriptors_cleaned",
-                max_l=args.max_l, num_samples=args.num_samples, seed=args.seed)
-        else:
-            run_lesion_analysis(
-                config, data_dir, out_root / "lesion_sh_heme_comprehensive",
-                max_l=args.max_l, num_samples=args.num_samples, seed=args.seed)
+        elif args.stage == "lesion":
+            from .pipeline.lesion_run import (run_lesion_analysis,
+                                              run_lesion_shape_descriptors)
+            if args.strict:
+                run_lesion_shape_descriptors(
+                    config, data_dir, out_root / "lesion_sh_descriptors_cleaned",
+                    max_l=args.max_l, num_samples=args.num_samples, seed=args.seed)
+            else:
+                run_lesion_analysis(
+                    config, data_dir, out_root / "lesion_sh_heme_comprehensive",
+                    max_l=args.max_l, num_samples=args.num_samples, seed=args.seed)
 
-    elif args.stage == "vae":
-        from .pipeline.vae_run import run_vae_analysis
-        run_vae_analysis(args.tract, latent_dim=args.latent_dim,
-                         epochs=args.epochs, batch_size=args.batch_size,
-                         lr=args.lr, config=config, base_path=base,
-                         output_dir=out_root / "vae_analysis" / args.tract,
-                         seed=args.seed, make_plots=not args.no_plots)
+        elif args.stage == "vae":
+            from .pipeline.vae_run import run_vae_analysis
+            run_vae_analysis(args.tract, latent_dim=args.latent_dim,
+                             epochs=args.epochs, batch_size=args.batch_size,
+                             lr=args.lr, config=config, base_path=base,
+                             output_dir=out_root / "vae_analysis" / args.tract,
+                             seed=args.seed, make_plots=not args.no_plots)
 
-    elif args.stage == "vae-cohort":
-        import jax.numpy as jnp
+        elif args.stage == "vae-cohort":
+            import jax.numpy as jnp
 
-        from .pipeline.vae_run import run_vae_cohort
-        tracts = args.tracts or list(config.geometry_tracts)
-        run_vae_cohort(tracts, latent_dim=args.latent_dim, epochs=args.epochs,
-                       batch_size=args.batch_size, lr=args.lr, config=config,
-                       base_path=base, output_dir=out_root / "vae_cohort",
-                       seed=args.seed, save_z=args.save_z,
-                       compute_dtype=(jnp.bfloat16 if args.dtype == "bf16"
-                                      else None),
-                       save_checkpoints=args.save_checkpoints)
-
-    elif args.stage == "classify":
-        from .pipeline.classification import run_classification
-        csv = (Path(args.geometry_csv) if args.geometry_csv else
-               out_root / "comprehensive_tract_geometry"
-               / "comprehensive_tract_geometry_metrics.csv")
-        run_classification(csv, out_root / "tbi_pte_classification")
-
-    elif args.stage == "correlate":
-        from .pipeline.correlation import run_correlation
-        gcsv = (Path(args.geometry_csv) if args.geometry_csv else
-                out_root / "comprehensive_tract_geometry"
-                / "comprehensive_tract_geometry_metrics.csv")
-        lcsv = (Path(args.lesion_csv) if args.lesion_csv else
-                out_root / "lesion_sh_heme_comprehensive"
-                / "lesion_sh_heme_comprehensive.csv")
-        run_correlation(lcsv, gcsv, out_root / "lesion_tract_correlations")
-
-    elif args.stage == "all":
-        from .pipeline.classification import run_classification
-        from .pipeline.correlation import run_correlation
-        from .pipeline.geometry_run import run_geometry
-        from .pipeline.lesion_run import run_lesion_analysis
-        geo_dir = out_root / "comprehensive_tract_geometry"
-        run_geometry(config, data_dir, geo_dir,
-                     max_streamlines=args.max_streamlines)
-        les_dir = out_root / "lesion_sh_heme_comprehensive"
-        run_lesion_analysis(config, data_dir, les_dir,
-                            num_samples=args.num_samples, seed=args.seed)
-        if args.with_vae:
             from .pipeline.vae_run import run_vae_cohort
-            run_vae_cohort(list(config.geometry_tracts), epochs=args.epochs,
-                           config=config, base_path=base,
-                           output_dir=out_root / "vae_cohort", seed=args.seed)
-        run_classification(geo_dir / "comprehensive_tract_geometry_metrics.csv",
-                           out_root / "tbi_pte_classification")
-        run_correlation(les_dir / "lesion_sh_heme_comprehensive.csv",
-                        geo_dir / "comprehensive_tract_geometry_metrics.csv",
-                        out_root / "lesion_tract_correlations")
+            tracts = args.tracts or list(config.geometry_tracts)
+            run_vae_cohort(tracts, latent_dim=args.latent_dim, epochs=args.epochs,
+                           batch_size=args.batch_size, lr=args.lr, config=config,
+                           base_path=base, output_dir=out_root / "vae_cohort",
+                           seed=args.seed, save_z=args.save_z,
+                           compute_dtype=(jnp.bfloat16 if args.dtype == "bf16"
+                                          else None),
+                           save_checkpoints=args.save_checkpoints)
 
-    elif args.stage == "score":
-        from .pipeline.infer import load_normative, score_subjects
-        norm = load_normative(args.normative)
-        subjects = args.subjects or [
-            s for subs in config.subjects_by_group().values() for s in subs]
-        summary = score_subjects(args.checkpoint, norm["mean"], norm["std"],
-                                 base, args.tract, args.timepoint, subjects,
-                                 config=config, seed=args.seed)
-        out = out_root / "serving"
-        out.mkdir(parents=True, exist_ok=True)
-        csv = out / f"scores_{args.tract}_{args.timepoint}.csv"
-        summary.to_csv(csv, index=False)
-        log.info("wrote %d subject scores -> %s", len(summary), csv)
+        elif args.stage == "classify":
+            from .pipeline.classification import run_classification
+            csv = (Path(args.geometry_csv) if args.geometry_csv else
+                   out_root / "comprehensive_tract_geometry"
+                   / "comprehensive_tract_geometry_metrics.csv")
+            run_classification(csv, out_root / "tbi_pte_classification")
 
-    elif args.stage == "synth":
-        from .io.synth import generate_cohort
-        generate_cohort(base, config, seed=args.seed,
-                        n_streamlines=args.n_streamlines,
-                        volume_shape=(args.volume,) * 3)
+        elif args.stage == "correlate":
+            from .pipeline.correlation import run_correlation
+            gcsv = (Path(args.geometry_csv) if args.geometry_csv else
+                    out_root / "comprehensive_tract_geometry"
+                    / "comprehensive_tract_geometry_metrics.csv")
+            lcsv = (Path(args.lesion_csv) if args.lesion_csv else
+                    out_root / "lesion_sh_heme_comprehensive"
+                    / "lesion_sh_heme_comprehensive.csv")
+            run_correlation(lcsv, gcsv, out_root / "lesion_tract_correlations")
 
-    if _tracer is not None:
-        _tracer.__exit__(None, None, None)
+        elif args.stage == "all":
+            from .pipeline.classification import run_classification
+            from .pipeline.correlation import run_correlation
+            from .pipeline.geometry_run import run_geometry
+            from .pipeline.lesion_run import run_lesion_analysis
+            geo_dir = out_root / "comprehensive_tract_geometry"
+            run_geometry(config, data_dir, geo_dir,
+                         max_streamlines=args.max_streamlines)
+            les_dir = out_root / "lesion_sh_heme_comprehensive"
+            run_lesion_analysis(config, data_dir, les_dir,
+                                num_samples=args.num_samples, seed=args.seed)
+            if args.with_vae:
+                from .pipeline.vae_run import run_vae_cohort
+                run_vae_cohort(list(config.geometry_tracts), epochs=args.epochs,
+                               config=config, base_path=base,
+                               output_dir=out_root / "vae_cohort", seed=args.seed)
+            run_classification(geo_dir / "comprehensive_tract_geometry_metrics.csv",
+                               out_root / "tbi_pte_classification")
+            run_correlation(les_dir / "lesion_sh_heme_comprehensive.csv",
+                            geo_dir / "comprehensive_tract_geometry_metrics.csv",
+                            out_root / "lesion_tract_correlations")
+
+        elif args.stage == "score":
+            from .pipeline.infer import load_normative, score_subjects
+            norm = load_normative(args.normative)
+            subjects = args.subjects or [
+                s for subs in config.subjects_by_group().values() for s in subs]
+            summary = score_subjects(args.checkpoint, norm["mean"], norm["std"],
+                                     base, args.tract, args.timepoint, subjects,
+                                     config=config, seed=args.seed)
+            out = out_root / "serving"
+            out.mkdir(parents=True, exist_ok=True)
+            csv = out / f"scores_{args.tract}_{args.timepoint}.csv"
+            summary.to_csv(csv, index=False)
+            log.info("wrote %d subject scores -> %s", len(summary), csv)
+
+        elif args.stage == "synth":
+            from .io.synth import generate_cohort
+            generate_cohort(base, config, seed=args.seed,
+                            n_streamlines=args.n_streamlines,
+                            volume_shape=(args.volume,) * 3)
+
+    finally:
+        # stop the profiler trace on BOTH paths (ADVICE r2): jax
+        # flushes the partial trace on stop_trace, and a later CLI
+        # invocation in the same process can start a fresh trace
+        if _tracer is not None:
+            _tracer.__exit__(*sys.exc_info())
     log.info("stage %s done in %.2fs", args.stage, time.perf_counter() - t0)
 
     # per-stage wall-clock table (utils/profiling records every pipeline

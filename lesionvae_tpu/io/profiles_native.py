@@ -80,7 +80,7 @@ def available() -> bool:
 def read_profile_columns(path: str | Path, columns: Sequence[str],
                          tract_column: str = "tract_id"
                          ) -> Optional[Tuple[np.ndarray, np.ndarray,
-                                             List[str]]]:
+                                             List[str], np.ndarray]]:
     """Read ``columns`` (floats) + tract run boundaries from a profile CSV.
 
     Returns ``(values, run_starts, run_names, present)`` where ``values``
@@ -122,7 +122,6 @@ def read_profile_columns(path: str | Path, columns: Sequence[str],
                                      shape=(n_rows, len(want))).copy()
         starts = np.ctypeslib.as_array(lib.csvp_run_starts(h),
                                        shape=(n_runs,)).copy()
-        names_blob = ctypes.string_at(lib.csvp_run_names(h))
         # names are NUL-joined; string_at stops at the FIRST NUL, so walk
         # the buffer run by run
         names: List[str] = []
@@ -132,7 +131,6 @@ def read_profile_columns(path: str | Path, columns: Sequence[str],
             s = ctypes.string_at(ptr + off)
             names.append(s.decode("utf-8", "replace"))
             off += len(s) + 1
-        del names_blob
         present = np.ones(len(columns), bool)
         if absent:
             vals[:, absent] = np.nan

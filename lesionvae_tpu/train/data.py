@@ -120,11 +120,13 @@ def fit_normalization_stats(X_micro: np.ndarray, X_lesion: np.ndarray,
     finite = np.isfinite(X)
     if finite.all():
         # fast path (typical: upstream tensor builders already impute):
-        # columnwise stats without per-feature boolean gathers
+        # columnwise stats without per-feature boolean gathers.  Accumulate
+        # in float32 like the slow path's np.nanmean/np.nanstd-on-float32 so
+        # a single NaN flipping which path runs cannot shift the stats by an
+        # accumulation-dtype ulp (ADVICE r2)
         meds = np.median(X, axis=0).astype(np.float32)
-        mus = X.mean(axis=0, dtype=np.float64).astype(np.float32)
-        stds = np.maximum(X.std(axis=0, dtype=np.float64), 1e-6
-                          ).astype(np.float32)
+        mus = X.mean(axis=0).astype(np.float32)
+        stds = np.maximum(X.std(axis=0), 1e-6).astype(np.float32)
         return {"median": meds, "mean": mus, "std": stds}
     meds = np.zeros(X.shape[1], np.float32)
     mus = np.zeros(X.shape[1], np.float32)
@@ -198,6 +200,15 @@ def normalize_on_device(Xm_i, Xl_i, n_i):
     m1 = jnp.take_along_axis(Xs, ((cnt - 1) // 2)[None, :], axis=0)[0]
     m2 = jnp.take_along_axis(Xs, (cnt // 2)[None, :], axis=0)[0]
     med = 0.5 * (m1 + m2)
+
+    # columns with ZERO finite entries: the reference's else-branch
+    # (normalization.py:35-38) and fit_normalization_stats fall back to
+    # median=mean=0, std=1 (not the +inf median / 1e-6 floor the masked
+    # reductions would produce) so imputed entries z-score to exactly 0
+    any_valid = jnp.sum(valid, axis=0) > 0
+    med = jnp.where(any_valid, med, 0.0)
+    mean = jnp.where(any_valid, mean, 0.0)
+    std = jnp.where(any_valid, std, 1.0)
 
     fin = jnp.isfinite(Xm_i)
     Xc = jnp.where(fin, Xm_i, med[None, None, :])

@@ -14,6 +14,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -28,9 +29,24 @@ struct Parsed {
   std::string error;
 };
 
-// Fast decimal float: [-]ddd[.ddd][e|E[+-]dd].  Falls back to NaN on empty
+// Exact powers of ten 10^0..10^22: every entry is exactly representable in
+// an IEEE double (5^22 < 2^53), so one multiply/divide by an entry is a
+// single correctly-rounded operation.
+static const double kPow10[] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
+    1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
+// Decimal float parse: [-]ddd[.ddd][e|E[+-]dd].  Falls back to NaN on empty
 // or non-numeric fields ("", "nan" handled below).
-inline float parse_float(const char* s, const char* end) {
+//
+// Correct rounding: the mantissa accumulates as an exact u64 integer and the
+// decimal exponent applies as ONE multiply/divide by an exact power of ten
+// (Clinger's fast path: exact when mant < 2^53 and |dexp| <= 22), yielding
+// the correctly rounded DOUBLE; longer/wider tokens fall back to strtod.
+// The float32 cast of that double matches pandas/pyarrow exactly (both parse
+// to float64 then cast), so the three bench reader paths agree bit-for-bit.
+inline float parse_float(const char* s0, const char* end) {
+  const char* s = s0;
   if (s == end) return NAN;
   bool neg = false;
   if (*s == '-') { neg = true; ++s; }
@@ -46,14 +62,23 @@ inline float parse_float(const char* s, const char* end) {
     }
     return NAN;
   }
-  double v = 0.0;
-  while (s < end && *s >= '0' && *s <= '9') v = v * 10.0 + (*s++ - '0');
+  uint64_t mant = 0;
+  int nd = 0;    // digits folded into mant (cap 19 -> may exceed 2^53)
+  int dexp = 0;  // decimal exponent adjustment
+  while (s < end && *s >= '0' && *s <= '9') {
+    if (nd < 19) { mant = mant * 10 + static_cast<uint64_t>(*s - '0'); ++nd; }
+    else ++dexp;  // integer digits beyond capacity shift the exponent
+    ++s;
+  }
   if (s < end && *s == '.') {
     ++s;
-    double scale = 0.1;
     while (s < end && *s >= '0' && *s <= '9') {
-      v += (*s++ - '0') * scale;
-      scale *= 0.1;
+      if (nd < 19) {
+        mant = mant * 10 + static_cast<uint64_t>(*s - '0');
+        ++nd;
+        --dexp;
+      }  // fraction digits beyond capacity are dropped -> slow path below
+      ++s;
     }
   }
   if (s < end && ((*s | 32) == 'e')) {
@@ -62,9 +87,20 @@ inline float parse_float(const char* s, const char* end) {
     if (s < end && (*s == '-' || *s == '+')) eneg = (*s++ == '-');
     int exp = 0;
     while (s < end && *s >= '0' && *s <= '9') exp = exp * 10 + (*s++ - '0');
-    v *= std::pow(10.0, eneg ? -exp : exp);
+    dexp += eneg ? -exp : exp;
   }
-  return static_cast<float>(neg ? -v : v);
+  if (nd < 19 && mant < (1ULL << 53) && dexp >= -22 && dexp <= 22) {
+    double v = static_cast<double>(mant);
+    v = dexp >= 0 ? v * kPow10[dexp] : v / kPow10[-dexp];
+    return static_cast<float>(neg ? -v : v);
+  }
+  // rare (>18 significant digits or |exp|>22): bounded copy + libc strtod
+  char buf[512];
+  size_t n = static_cast<size_t>(end - s0);
+  if (n > sizeof(buf) - 1) n = sizeof(buf) - 1;
+  memcpy(buf, s0, n);
+  buf[n] = '\0';
+  return static_cast<float>(strtod(buf, nullptr));
 }
 
 void parse_impl(const char* data, int64_t len, const int32_t* want,

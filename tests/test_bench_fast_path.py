@@ -107,5 +107,9 @@ def test_fast_profile_tensors_fallback_paths(cohort, monkeypatch):
     for (k1, *a), (k2, *b), (k3, *c) in zip(ref, pa_list, pd_list):
         assert k1 == k2 == k3
         for x, y, z in zip(a, b, c):
-            np.testing.assert_allclose(y, x, rtol=1e-6, atol=1e-7)
-            np.testing.assert_allclose(z, x, rtol=1e-6, atol=1e-7)
+            # BIT-exact: the native parser computes the correctly rounded
+            # float64 (Clinger fast path / strtod fallback) then casts to
+            # float32 — the same two steps pandas and pyarrow take — so
+            # cached tensor blocks are interchangeable across readers
+            np.testing.assert_array_equal(y, x)
+            np.testing.assert_array_equal(z, x)

@@ -66,3 +66,40 @@ def test_malformed_inputs(tmp_path):
     fp2.write_text("a,b\n1,2\n")
     with pytest.raises(ValueError):
         profiles_native.read_profile_columns(fp2, ["a"])
+
+
+def test_parse_float_bit_exact_vs_pandas(tmp_path):
+    """The native float parse must be BIT-exact vs pandas' float64 parse +
+    float32 cast (ADVICE r2): correctly rounded double via the Clinger fast
+    path (exact u64 mantissa x exact power of ten) with a strtod fallback
+    for long/extreme tokens."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(3000) * 10.0 ** rng.integers(-35, 35, 3000)
+    strs = [repr(float(v)) for v in vals]
+    strs += ["%.6g" % v for v in vals[:500]]          # short prints
+    strs += ["%.17g" % v for v in vals[500:1000]]     # full double prints
+    strs += [".5", "-.25", "5.", "+3.25", "1e999", "-1e999", "00012.5",
+             "1.00000000000000000001", "9007199254740993", "1e-45",
+             "3.4028235e38", "3.4028236e38", "1.1754944e-38", "2.5e-324",
+             "123456789012345678901234567890", "0.1", "0.2", "0.3",
+             "inf", "-inf", "nan", ""]
+    fp = tmp_path / "exact.csv"
+    with open(fp, "w") as f:
+        f.write("tract_id,x\n")
+        for s in strs:
+            f.write(f"t,{s}\n")
+    out = profiles_native.read_profile_columns(fp, ["x"])
+    assert out is not None
+    native = out[0][:, 0]
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # overflow on cast
+        ref = pd.read_csv(fp, skip_blank_lines=False)["x"].to_numpy(
+            np.float64).astype(np.float32)
+    # pandas drops the blank-field row to NaN as well; align lengths
+    assert len(native) == len(ref)
+    eq = (native == ref) | (np.isnan(native) & np.isnan(ref))
+    bad = np.where(~eq)[0]
+    assert eq.all(), [(strs[i], native[i], ref[i]) for i in bad[:5]]

@@ -193,3 +193,37 @@ def test_fused_optimizer_matches_optax_chain():
         pr = jax.tree.map(lambda p, u: p + u, pr, ur)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, rtol=1e-6, atol=1e-8), pf, pr)
+
+
+def test_normalize_on_device_empty_column_matches_host():
+    """A feature column with ZERO finite values must fall back to
+    median=mean=0, std=1 (reference normalization.py:35-38) so imputed
+    entries z-score to exactly 0 — not the +inf-median / 1e-6-floor the
+    masked reductions would otherwise produce (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    from lesionvae_tpu.train import data as vdata
+
+    rng = np.random.default_rng(3)
+    xm = rng.normal(size=(12, 8, 3)).astype(np.float32)
+    xm[:, :, 1] = np.nan          # an entirely non-finite column
+    xl = rng.uniform(size=(12, 8, 2)).astype(np.float32)
+
+    st = vdata.fit_normalization_stats(xm, xl, ["a", "b", "c"])
+    assert st["median"][1] == 0.0 and st["mean"][1] == 0.0
+    assert st["std"][1] == 1.0
+    xz_h, _ = vdata.apply_normalization(xm, xl, st)
+
+    n_pad = 16  # pad rows exercise the row mask too
+    Xm_p = np.zeros((n_pad, 8, 3), np.float32)
+    Xm_p[:12] = xm
+    Xl_p = np.zeros((n_pad, 8, 2), np.float32)
+    Xl_p[:12] = xl
+    xz_d, _, st_d = vdata.normalize_on_device(
+        jnp.asarray(Xm_p), jnp.asarray(Xl_p), 12)
+    assert float(st_d["median"][1]) == 0.0
+    assert float(st_d["mean"][1]) == 0.0
+    assert float(st_d["std"][1]) == 1.0
+    np.testing.assert_allclose(np.asarray(xz_d)[:12], xz_h,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xz_d)[:12, :, 1], 0.0)
