@@ -36,6 +36,14 @@ METRIC_NAMES = (
     "ang_dispersion",
 )
 
+# f32 eigen-certificate thresholds (see streamline_metrics): measured f32
+# eigenvalue error is ≤ ~7e-7·λ1 (deflated solver ≤4e-7 over 25k adversarial
+# spectra incl. exact degeneracies + covariance arithmetic ≤3e-7), so
+# 1e-4·λ1 certifies the reference's 1e-12 inf gate with >100x margin and
+# caps unrefined ratio error at ~1%.
+EIGEN_SAFE_REL = 1e-4
+EIGEN_SAFE_ABS = 1e-8   # λ1 floor: below this the whole curve is point-scale
+
 
 def _masked_gradient(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """np.gradient(axis=-2) over the first ``n`` rows of each padded curve.
@@ -91,6 +99,74 @@ def _eigh3_trig(C: jnp.ndarray) -> jnp.ndarray:
                      eigs)
 
 
+def _eigh3_deflated(C: jnp.ndarray) -> jnp.ndarray:
+    """Trig solver + one deflation step: accurate SMALL eigenvalues in f32.
+
+    The plain trig solver's absolute error on every root is ~1.6e-4·λ1
+    (measured): its shifted matrix has a near-double eigenvalue whenever one
+    eigenvalue dominates — the COMMON case for elongated tract curves — so
+    small-eigenvalue accuracy collapses exactly where the reference's
+    inf-gate needs it.  Deflation fixes this:
+
+    1. trig estimates pick the better-separated END of the spectrum (λ1 or
+       λ3 by gap; shifting to a CLUSTERED end would leave the null vector
+       ill-determined — e.g. a planar circle has λ1≈λ2, λ3=0);
+    2. that end's eigenvector = largest cross product of rows of
+       (C − shift·I) (rows of a rank-2 symmetric matrix span the
+       complement);
+    3. its eigenvalue re-extracts as the Rayleigh quotient vᵀCv and the
+       remaining two solve the projected 2x2 symmetric problem in closed
+       form on an orthonormal complement basis {u, w}.
+
+    All projected entries carry only ~eps·λ1 rounding, so every eigenvalue
+    lands within ~1e-6·λ1 of the f64 answer (measured; ~100x better than
+    plain trig) in ~80 extra elementwise ops, no iteration.  Degenerate
+    guards: both-gaps-small means the whole spectrum is clustered (errors
+    bounded by the cluster width); zero/isotropic C falls back to a
+    coordinate basis."""
+    dtype = C.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    lam_t = _eigh3_trig(C)
+    g1 = lam_t[..., 0] - lam_t[..., 1]
+    g3 = lam_t[..., 1] - lam_t[..., 2]
+    shift = jnp.where(g1 >= g3, lam_t[..., 0], lam_t[..., 2])
+    A = C - shift[..., None, None] * jnp.eye(3, dtype=dtype)
+    r0, r1, r2 = A[..., 0, :], A[..., 1, :], A[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, -1)
+    n02 = jnp.sum(c02 * c02, -1)
+    n12 = jnp.sum(c12 * c12, -1)
+    v = jnp.where(((n01 >= n02) & (n01 >= n12))[..., None], c01,
+                  jnp.where((n02 >= n12)[..., None], c02, c12))
+    nv = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
+    e1 = jnp.zeros_like(v).at[..., 0].set(1.0)
+    v1 = jnp.where(nv > tiny, v / jnp.maximum(nv, tiny), e1)
+    # complement basis: orthonormalize the axis least aligned with v1
+    e = jax.nn.one_hot(jnp.argmin(jnp.abs(v1), axis=-1), 3, dtype=dtype)
+    a = e - jnp.sum(e * v1, -1, keepdims=True) * v1
+    na = jnp.sqrt(jnp.sum(a * a, -1, keepdims=True))
+    u = a / jnp.maximum(na, tiny)
+    w = jnp.cross(v1, u)
+    Cv = jnp.einsum("...ij,...j->...i", C, v1)
+    Cu = jnp.einsum("...ij,...j->...i", C, u)
+    Cw = jnp.einsum("...ij,...j->...i", C, w)
+    l_v = jnp.sum(v1 * Cv, -1)                 # Rayleigh quotient
+    m00 = jnp.sum(u * Cu, -1)
+    m01 = jnp.sum(u * Cw, -1)
+    m11 = jnp.sum(w * Cw, -1)
+    t = 0.5 * (m00 + m11)
+    d = jnp.sqrt(jnp.maximum(0.25 * (m00 - m11) ** 2 + m01 ** 2, 0.0))
+    l_a, l_b = t + d, t - d
+    # cancellation-free 3-way descending sort of {l_v, l_a, l_b}
+    hi = jnp.maximum(jnp.maximum(l_v, l_a), l_b)
+    lo = jnp.minimum(jnp.minimum(l_v, l_a), l_b)
+    mid = jnp.maximum(jnp.minimum(l_v, l_a),
+                      jnp.minimum(jnp.maximum(l_v, l_a), l_b))
+    return jnp.stack([hi, mid, lo], axis=-1)
+
+
 def _eigh3_descending(C: jnp.ndarray) -> jnp.ndarray:
     """Eigenvalues of batched symmetric 3x3 matrices, sorted descending
     (λ1 ≥ λ2 ≥ λ3).  The reference calls np.linalg.eigh per curve
@@ -99,12 +175,13 @@ def _eigh3_descending(C: jnp.ndarray) -> jnp.ndarray:
     float64 (CPU parity path): one batched XLA Eigh call — LAPACK-grade
     accuracy so the reference's 1e-12 inf-threshold
     (tract_geom_proc.py:126-136) resolves identically to numpy.
-    float32 (TPU path): closed-form trig solver — in f32 the iterative Eigh
-    is no more accurate at the 1e-12 threshold (f32 eigen-noise is ~1e-6·λ1
-    for either method) and is ~100x slower on TPU."""
+    float32 (TPU path): closed-form trig solver for λ1 plus a deflated 2x2
+    solve for λ2/λ3 (absolute error ~1e-6·λ1 vs the plain trig solver's
+    1.6e-4·λ1) — XLA's iterative Eigh is ~100x slower on TPU and no more
+    accurate in f32."""
     if C.dtype == jnp.float64:
         return jnp.linalg.eigvalsh(C)[..., ::-1]
-    return _eigh3_trig(C)
+    return _eigh3_deflated(C)
 
 
 def _msum(x, mask, axis):
@@ -215,6 +292,23 @@ def streamline_metrics(points: jnp.ndarray, lengths: jnp.ndarray,
     planarity = jnp.where(lam3 <= tiny, inf, lam2 / lam3)
     anisotropy = lam1 / (lam1 + lam2 + lam3 + tiny)
 
+    # f32 inf-gate certificate: the reference's 1e-12 threshold
+    # (tract_geom_proc.py:126-136) sits far below f32 eigen-noise, so a
+    # near-degenerate curve could flip inf<->finite vs the f64 reference.
+    # Measured error bound ≤ ~7e-7·λ1 (deflated solver + f32 covariance
+    # arithmetic): a streamline whose λ2, λ3 both clear EIGEN_SAFE_REL·λ1
+    # provably matches the reference's inf/finite verdict AND keeps ratio
+    # error under ~1%.  Rows that fail the certificate get an exact
+    # host-side f64 recompute (eigen_metrics_f64) — a tiny subset, since
+    # real tract curves sit far from the gate.  The f64 device path is
+    # already reference-grade (batched Eigh).
+    if np.dtype(dtype) == np.float64:
+        eigen_ok = jnp.ones(S, bool)
+    else:
+        eigen_ok = ((lam1 > jnp.asarray(EIGEN_SAFE_ABS, dtype))
+                    & (lam2 > EIGEN_SAFE_REL * lam1)
+                    & (lam3 > EIGEN_SAFE_REL * lam1))
+
     # angular dispersion: var of unit tangents (tract_geom_proc.py:143-148)
     mean_t = _mmean(t_hat, seg_mask[..., None], axis=1)     # (S, 3)
     dev = jnp.sum((t_hat - mean_t[:, None, :]) ** 2, axis=-1)
@@ -239,10 +333,11 @@ def streamline_metrics(points: jnp.ndarray, lengths: jnp.ndarray,
         "centroid_z": centroid[:, 2],
         "ang_dispersion": ang_disp,
         "valid": L > eps,
+        "eigen_ok": eigen_ok,
     }
 
 
-STACKED_NAMES = (*METRIC_NAMES, "valid")
+STACKED_NAMES = (*METRIC_NAMES, "valid", "eigen_ok")
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -252,14 +347,37 @@ def streamline_metrics_stacked(points: jnp.ndarray, lengths: jnp.ndarray,
     ``valid`` as 0/1 float).  A single device→host transfer per call — small
     per-buffer transfers are expensive on remote-attached TPUs."""
     m = streamline_metrics(points, lengths, dtype=dtype)
-    return jnp.stack([m[k].astype(dtype) if k != "valid"
-                      else m[k].astype(dtype) for k in STACKED_NAMES])
+    return jnp.stack([m[k].astype(dtype) for k in STACKED_NAMES])
 
 
 def unstack_metrics(stacked: np.ndarray) -> Dict[str, np.ndarray]:
     out = {k: np.asarray(stacked[i]) for i, k in enumerate(STACKED_NAMES)}
     out["valid"] = out["valid"] > 0.5
+    out["eigen_ok"] = out["eigen_ok"] > 0.5
     return out
+
+
+def eigen_metrics_f64(streamlines, out_elong: np.ndarray,
+                      out_plan: np.ndarray, out_aniso: np.ndarray,
+                      idx: np.ndarray) -> None:
+    """Exact host-side f64 eigen-ratio metrics for the flagged subset.
+
+    Reproduces the reference verbatim (tract_geom_proc.py:119-141): f64
+    ddof-1 covariance of the raw points, LAPACK eigvalsh, inf when the
+    ratio denominator is <= 1e-12, anisotropy λ1/(Σλ+1e-12).  Called for
+    streamlines whose f32 certificate failed (``eigen_ok`` False) — in
+    real cohorts a tiny subset, so the per-curve host loop is cheap; the
+    arrays are updated in place.
+    """
+    for i in idx:
+        sl = np.asarray(streamlines[i], np.float64)
+        c = sl - sl.mean(axis=0)
+        C = c.T @ c / max(len(sl) - 1, 1)
+        lam = np.linalg.eigvalsh(C)[::-1]
+        l1, l2, l3 = lam
+        out_elong[i] = np.inf if l2 <= 1e-12 else l1 / l2
+        out_plan[i] = np.inf if l3 <= 1e-12 else l2 / l3
+        out_aniso[i] = l1 / (l1 + l2 + l3 + 1e-12)
 
 
 # Bundle-summary quantities and their source metric (tract_geom_proc.py:195-210)

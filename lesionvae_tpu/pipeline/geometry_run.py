@@ -25,7 +25,7 @@ import pandas as pd
 
 from ..core.config import Config, load_config
 from ..io.vtk import read_streamlines
-from ..ops.geometry import (METRIC_NAMES, bundle_summary,
+from ..ops.geometry import (METRIC_NAMES, bundle_summary, eigen_metrics_f64,
                             streamline_metrics_stacked, unstack_metrics)
 from ..ops.padding import pad_streamlines
 from ..utils.logging import get_logger
@@ -72,6 +72,15 @@ def metrics_dataframe(streamlines: Sequence[np.ndarray],
                                          dtype=dtype)
     out = unstack_metrics(np.asarray(stacked))
     valid = out["valid"]
+    # exact f64 verdict for rows whose f32 eigen certificate failed (the
+    # reference's 1e-12 inf gate, tract_geom_proc.py:126-136)
+    refine = np.nonzero(valid & ~out["eigen_ok"])[0]
+    if len(refine):
+        for k in ("elongation_ratio", "planarity_ratio", "anisotropy_ratio"):
+            out[k] = np.array(out[k])   # device fetches are read-only views
+        eigen_metrics_f64(streamlines, out["elongation_ratio"],
+                          out["planarity_ratio"], out["anisotropy_ratio"],
+                          refine)
     df_sl = pd.DataFrame({k: out[k][valid].astype(np.float64)
                           for k in METRIC_NAMES})
     df_bundle = pd.DataFrame([bundle_summary(out)])
@@ -145,16 +154,31 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
             stacked = streamline_metrics_stacked(d_pts, d_lens, dtype=dtype)
             pending.append((stacked, S,
                             np.fromiter((bi for bi, _ in chunk),
-                                        np.int64, count=S)))
+                                        np.int64, count=S), sls))
 
     def finish() -> List[Dict[str, float]]:
         vals_parts = [np.asarray(stacked)[:, :S].T
-                      for stacked, S, _ in pending]
-        bids_parts = [bids for _, _, bids in pending]
+                      for stacked, S, _, _ in pending]
+        bids_parts = [bids for _, _, bids, _ in pending]
 
-        V = np.concatenate(vals_parts)                 # (S_total, 18)
+        V = np.concatenate(vals_parts)                 # (S_total, 19)
         bids = np.concatenate(bids_parts)
         valid = V[:, STACKED_NAMES.index("valid")] > 0.5
+
+        # f64 refinement of eigen-ratio metrics where the f32 certificate
+        # failed (exact reference inf-gate semantics; see ops.geometry)
+        eigen_ok = V[:, STACKED_NAMES.index("eigen_ok")] > 0.5
+        refine = np.nonzero(valid & ~eigen_ok)[0]
+        if len(refine):
+            all_sls = [sl for _, _, _, sls in pending for sl in sls]
+            cols = [STACKED_NAMES.index(c) for c in
+                    ("elongation_ratio", "planarity_ratio",
+                     "anisotropy_ratio")]
+            # column slices are views — updated in place
+            eigen_metrics_f64(all_sls, V[:, cols[0]], V[:, cols[1]],
+                              V[:, cols[2]], refine)
+            log.info("refined %d/%d eigen-ambiguous streamlines in f64",
+                     len(refine), len(V))
 
         # vectorized bundle summaries: pandas groupby mean == np.nanmean per
         # bundle (skips NaN, propagates inf — _safe_mean semantics,
