@@ -214,10 +214,11 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     runs = [_run_pipeline(root, cfg, warm=False, emit=False)
             for _ in range(repeats)]
-    best_total, best_steps, exclusions = min(runs, key=lambda r: r[0])
+    best_total, best_steps, exclusions, _dt = min(runs, key=lambda r: r[0])
     log(f"[bench] repeats: {[round(r[0], 1) for r in runs]} "
         f"-> best {best_total:.2f}s")
-    extra = {"vae_steps_per_s": round(best_steps, 1)}
+    extra = {"vae_steps_per_s": round(best_steps, 1),
+             "device_time_s": round(min(r[3] for r in runs), 2)}
     if cold_start is not None:
         extra["cold_start_s"] = round(cold_start, 1)
     print(json.dumps(_result_json(best_total, exclusions, extra)))
@@ -318,7 +319,8 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # fetching materialized HBM buffers does not wait on the fleet) ---------
     t0 = time.perf_counter()
     geo_df = geo_finish()
-    t_geo = t_geo_launch + (time.perf_counter() - t0)
+    t_geo_finish = time.perf_counter() - t0
+    t_geo = t_geo_launch + t_geo_finish
     log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
 
     # ---- stage 6: collect the fleet + fused normative summary -------------
@@ -352,9 +354,19 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
         f"| sh {t_sh:.1f} | fleet-collect {t_vae:.1f}; "
         f"target {BASELINE_TARGET_S}s)")
 
+    # device-time secondary metric (VERDICT r2 #8): the sum of the windows
+    # spent waiting on device programs + their D2H fetches — the stages NOT
+    # on the host CPU.  The shared host's CPU weather swings the wall-clock
+    # 2-5x between runs; this number moves only with device/link behavior,
+    # so a code regression in the compute path stays visible through host
+    # weather (and vice versa).
+    device_time = t_geo_finish + t_vae + t_sh
+    log(f"[bench] {tag} device-side time {device_time:.2f}s "
+        f"(geo-finish {t_geo_finish:.1f} + fleet {t_vae:.1f} + sh {t_sh:.1f})")
+
     if emit:
         print(json.dumps(_result_json(total, exclusions)))
-    return total, steps / fleet_wall, exclusions
+    return total, steps / fleet_wall, exclusions, device_time
 
 
 def _result_json(total, exclusions, extra=None):

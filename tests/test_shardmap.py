@@ -114,3 +114,18 @@ def test_graft_entry_dryrun_inline():
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import __graft_entry__ as g
     g.dryrun_multichip(8)  # conftest provides 8 virtual devices -> inline
+
+
+@pytest.mark.slow
+def test_flagship_multichip_validation():
+    """Flagship dims (seq 100 / 13 ch / latent 10), 10 steps: GSPMD and
+    explicit-collective shard_map land on the same params; member-sharded
+    fleet trains 2x-device members for 2 epochs (VERDICT r2 #5)."""
+    from lesionvae_tpu.parallel.sharded import dryrun_flagship
+    out = dryrun_flagship(8, steps=10, epochs=2)
+    assert out["dims"] == dict(seq_len=100, micro_ch=13, lesion_ch=3,
+                               latent=10)
+    assert out["early_step_rel"] < 1e-5   # exact same-math parity
+    assert out["max_param_rel_div"] < 0.5  # bounded Adam-amplified drift
+    assert out["fleet_members"] == 16
+    assert np.isfinite(out["fleet_mean_loss"])
