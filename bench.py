@@ -307,10 +307,16 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     import jax.numpy as jnp
     fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_FLEET_DTYPE", "bf16")]
+    # bf16 STORAGE with stochastic rounding (train.lowmem): the step is
+    # HBM-bound on f32 weight+moment streams; bf16 storage measured
+    # 17.0 -> 12.9 ms/fleet-step (1.33x) with the curve pinned to f32 in
+    # tests/test_lowmem.py.  BENCH_FLEET_STORE=f32 restores full precision.
+    store_dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_FLEET_STORE", "bf16")]
     t0 = t_fleet_launch = time.perf_counter()
     handle = launch_many_vaes(
         Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
-        seed=42, compute_dtype=fleet_dtype,
+        seed=42, compute_dtype=fleet_dtype, store_dtype=store_dtype,
         summary_spec=(sham_T, subj_T, n_subj + 1, 42),
         normalize_on_device=True)
     log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")

@@ -38,7 +38,8 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                    latent_dim: int, epochs: int, batch_size: int, lr: float,
                    weight_decay: float, grad_clip: float,
                    compute_dtype=None, summary_n_seg: int = 0,
-                   summary_seed: int = 0, normalize: bool = False):
+                   summary_seed: int = 0, normalize: bool = False,
+                   store_dtype=None):
     """Build (once per static config) the jitted vmapped training program.
 
     ``summary_n_seg > 0`` appends the on-device normative summary
@@ -59,7 +60,15 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
     module = LesionConditionedVAE(seq_len=seq_len, micro_ch=micro_ch,
                                   lesion_ch=lesion_ch, latent=latent_dim,
                                   compute_dtype=compute_dtype)
-    tx = make_optimizer(lr, weight_decay, grad_clip)
+    if store_dtype is not None:
+        # bf16-STORAGE fast path (train.lowmem): the step is HBM-bound on
+        # f32 weight + Adam-moment streams (measured — see lowmem docstring);
+        # weight leaves and their moments store in bf16 with stochastic
+        # rounding, optimizer math stays f32
+        from .lowmem import LowmemOptimizer
+        tx = LowmemOptimizer(lr, weight_decay, grad_clip)
+    else:
+        tx = make_optimizer(lr, weight_decay, grad_clip)
 
     betas = jnp.asarray([
         0.1 + 1.9 * (ep / (epochs - 1)) if epochs > 1 else 1.0
@@ -91,7 +100,13 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
             from .data import normalize_on_device
             Xm_i, Xl_i, norm_stats = normalize_on_device(Xm_i, Xl_i, n_i)
         params, batch_stats = init_one(key)
-        opt_state = tx.init(params)
+        if store_dtype is not None:
+            from .lowmem import cast_params_storage
+            params = cast_params_storage(params, store_dtype)
+            opt_state = tx.init(params, salt=jax.random.bits(
+                jax.random.fold_in(key, 7), (), jnp.uint32))
+        else:
+            opt_state = tx.init(params)
 
         def epoch_step(carry, inputs):
             ep_key, beta = inputs
@@ -116,8 +131,11 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                 (loss, (recon, kld, new_stats)), grads = grad_fn(
                     params, stats, xb_m, xb_l, mask, rng, beta)
                 finite = jnp.isfinite(loss)
-                updates, new_opt = tx.update(grads, opt_state, params)
-                cand = jax.tree.map(lambda p, u: p + u, params, updates)
+                if store_dtype is not None:
+                    cand, new_opt = tx.step(grads, opt_state, params)
+                else:
+                    updates, new_opt = tx.update(grads, opt_state, params)
+                    cand = jax.tree.map(lambda a, u: a + u, params, updates)
                 new_params = jax.tree.map(
                     lambda a, c: jnp.where(finite, c, a), params, cand)
                 new_opt_state = jax.tree.map(
@@ -207,7 +225,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      seed: int = 42, compute_dtype=None,
                      summary_spec=None,
                      normalize_on_device: bool = False,
-                     mesh=None) -> FleetHandle:
+                     mesh=None, store_dtype=None) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -223,6 +241,12 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         (train.data.normalize_on_device).  ``handle.Xm_j``/``Xl_j`` then
         hold the device-resident NORMALIZED blocks and
         ``handle.norm_stats_T`` the per-member {median, mean, std}.
+      store_dtype: optional (e.g. jnp.bfloat16) — store conv/dense weight
+        leaves AND their Adam moments in this dtype with f32 optimizer math
+        (train.lowmem).  The fleet step is HBM-bound on those streams
+        (measured: the fused Adam pass alone is 9.3 of 16.6 ms/fleet-step
+        in f32); bf16 storage halves them.  Opt-in; distributional parity
+        vs the f32 trainer pinned in tests/test_lowmem.py.
       mesh: optional jax.sharding.Mesh — shard the MEMBER axis T over the
         mesh's ``data`` axis ("fleet parallelism": each device trains its
         own slice of independent VAEs, zero collectives, scaling the cohort
@@ -241,7 +265,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
     program, module, n_batches = _fleet_program(
         n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
         lr, weight_decay, grad_clip, compute_dtype, int(n_seg),
-        int(norm_seed), bool(normalize_on_device))
+        int(norm_seed), bool(normalize_on_device), store_dtype)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
     # dataset stays f32: bf16 row-gathers lower very poorly on TPU (measured
