@@ -186,14 +186,46 @@ def warmup_backend():
     np.asarray(jax.jit(lambda x: jnp.tanh(x @ x))(jnp.ones((512, 512),
                                                            jnp.float32)))
     log(f"[setup] backend warmup in {time.perf_counter() - t0:.1f}s")
+    return probe_link()
+
+
+def probe_link(mb: int = 32):
+    """Measure the attachment's H2D/D2H bandwidth with one ``mb``-MB
+    round-trip.  The link speed (7-40 MB/s observed across sessions) sets
+    the floor for the ~600 MB (f32) / ~400 MB (u16 fleet upload) a full run
+    ships, so the reading contextualizes every wall-clock in this log."""
+    import jax.numpy as jnp
+    x = np.random.default_rng(0).random((mb * 1024 * 1024 // 4,)
+                                        ).astype(np.float32)
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    d.block_until_ready()
+    h2d = mb / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    d2h = mb / (time.perf_counter() - t0)
+    log(f"[setup] link probe: H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s "
+        f"({mb} MB round-trip)")
+    return h2d, d2h
 
 
 def main():
     root = Path(os.environ.get("BENCH_ROOT", "/tmp/lesionvae_bench"))
     root.mkdir(parents=True, exist_ok=True)
     cfg = setup_cohort(root)
-    warmup_backend()
+    link = warmup_backend()
     log(f"[bench] devices: {jax.devices()}")
+
+    # u16 upload auto-policy: quantizing the fleet upload halves its bytes
+    # but costs a 2-7 s host pass under transfer contention; measured A/B
+    # (BENCH logs r3): u16 wins when the link is slow (geo-finish 4-5 s vs
+    # 8-17 s at 15-20 MB/s), f32 wins on fast links (enqueue ~0.2 s vs
+    # 2-7 s at >35 MB/s).  'auto' picks by the probed H2D bandwidth.
+    if os.environ.get("BENCH_FLEET_UPLOAD", "auto") == "auto":
+        choice = "u16" if link[0] < 30.0 else "f32"
+        os.environ["BENCH_FLEET_UPLOAD"] = choice
+        log(f"[setup] fleet upload auto-policy: {choice} "
+            f"(H2D {link[0]:.1f} MB/s)")
 
     cold_start = None
     if os.environ.get("BENCH_WARMUP_PASS", "1") == "1":
@@ -218,7 +250,9 @@ def main():
     log(f"[bench] repeats: {[round(r[0], 1) for r in runs]} "
         f"-> best {best_total:.2f}s")
     extra = {"vae_steps_per_s": round(best_steps, 1),
-             "device_time_s": round(min(r[3] for r in runs), 2)}
+             "device_time_s": round(min(r[3] for r in runs), 2),
+             "link_h2d_mb_s": round(link[0], 1),
+             "link_d2h_mb_s": round(link[1], 1)}
     if cold_start is not None:
         extra["cold_start_s"] = round(cold_start, 1)
     print(json.dumps(_result_json(best_total, exclusions, extra)))
@@ -313,12 +347,18 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # tests/test_lowmem.py.  BENCH_FLEET_STORE=f32 restores full precision.
     store_dtype = {"f32": None, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_FLEET_STORE", "bf16")]
+    # uint16 fixed-point upload (train.quantize): the raw fleet tensors are
+    # ~400 MB of the ~600 MB that must cross the 7-40 MB/s link per run —
+    # u16 codes halve that at ~1.5e-5 relative range precision (z-scores
+    # shift ~1e-4; parity pinned in tests/test_quantize_upload.py).
+    # BENCH_FLEET_UPLOAD=f32 restores the full-precision upload.
+    quant = os.environ.get("BENCH_FLEET_UPLOAD", "auto") == "u16"
     t0 = t_fleet_launch = time.perf_counter()
     handle = launch_many_vaes(
         Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
         seed=42, compute_dtype=fleet_dtype, store_dtype=store_dtype,
         summary_spec=(sham_T, subj_T, n_subj + 1, 42),
-        normalize_on_device=True)
+        normalize_on_device=True, quantize_upload=quant)
     log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
     # ---- stage 5: geometry finish (device work already done/overlapped;
@@ -375,6 +415,19 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     return total, steps / fleet_wall, exclusions, device_time
 
 
+def _approximations():
+    """Precision knobs active in this run (each opt-out-able by env; each
+    pinned by a distributional-parity test) — reported for honesty."""
+    out = []
+    if os.environ.get("BENCH_FLEET_DTYPE", "bf16") == "bf16":
+        out.append("fleet_compute_bf16")      # tests/test_mixed_precision.py
+    if os.environ.get("BENCH_FLEET_STORE", "bf16") == "bf16":
+        out.append("fleet_store_bf16_sr")     # tests/test_lowmem.py
+    if os.environ.get("BENCH_FLEET_UPLOAD", "auto") == "u16":
+        out.append("fleet_upload_u16")        # tests/test_quantize_upload.py
+    return out
+
+
 def _result_json(total, exclusions, extra=None):
     out = {
         "metric": "full_cohort_wallclock",
@@ -382,6 +435,9 @@ def _result_json(total, exclusions, extra=None):
         "unit": "s",
         "vs_baseline": round(BASELINE_TARGET_S / total, 3),
     }
+    approx = _approximations()
+    if approx:
+        out["approximations"] = approx
     if exclusions:
         out["exclusions"] = exclusions
     if extra:

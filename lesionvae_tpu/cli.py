@@ -91,6 +91,13 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--store", choices=["f32", "bf16"], default="f32",
+                   help="weight/Adam-moment STORAGE dtype: bf16 halves the "
+                        "optimizer HBM streams via stochastic rounding "
+                        "(train.lowmem; 1.33x per step, parity-pinned)")
+    p.add_argument("--quantize-upload", action="store_true",
+                   help="upload raw tensors as uint16 fixed-point codes "
+                        "(halves H2D bytes; train.quantize, parity-pinned)")
     p.add_argument("--save-z", action="store_true",
                    help="also fetch + store the full per-streamline z-score "
                         "block per member (large D2H; default keeps z on "
@@ -191,6 +198,9 @@ def main(argv=None) -> int:
                            seed=args.seed, save_z=args.save_z,
                            compute_dtype=(jnp.bfloat16 if args.dtype == "bf16"
                                           else None),
+                           store_dtype=(jnp.bfloat16 if args.store == "bf16"
+                                        else None),
+                           quantize_upload=args.quantize_upload,
                            save_checkpoints=args.save_checkpoints)
 
         elif args.stage == "classify":

@@ -156,7 +156,8 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                    timepoints: Optional[Sequence[str]] = None,
                    output_dir: str | Path | None = None,
                    seed: int = 42, save_z: bool = False,
-                   compute_dtype=None,
+                   compute_dtype=None, store_dtype=None,
+                   quantize_upload: bool = False,
                    save_checkpoints: bool = False) -> Dict[tuple, dict]:
     """Train the whole (tract x timepoint) VAE fleet CONCURRENTLY (one
     vmapped device program, train.batched) and compute normative z-scores
@@ -170,6 +171,13 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
     ``save_z=True`` to also fetch and store the full ``Z`` per member
     (reference semantics of compute_zscore_residuals, vae_model.py:277-334;
     the single-tract :func:`run_vae_analysis` always returns full Z).
+
+    Perf knobs (each parity-pinned, see the cited tests):
+    ``compute_dtype=jnp.bfloat16`` — bf16 compute (test_mixed_precision);
+    ``store_dtype=jnp.bfloat16`` — bf16 weight/moment storage with
+    stochastic rounding, 1.33x per step (train.lowmem, test_lowmem);
+    ``quantize_upload=True`` — uint16 fixed-point raw-tensor upload, halves
+    the H2D bytes (train.quantize, test_quantize_upload).
 
     Returns {(tract, timepoint): {"model", "history", "magnitude",
     "subj_profiles", "subj_ids", "group_labels"[, "Z"]}}.
@@ -229,7 +237,9 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                                   compute_dtype=compute_dtype,
                                   summary_spec=(sham_T, subj_idx_T, n_seg,
                                                 seed),
-                                  normalize_on_device=True)
+                                  normalize_on_device=True,
+                                  store_dtype=store_dtype,
+                                  quantize_upload=quantize_upload)
         models, hist = handle.fetch()
 
     with stage("vae_cohort.normative"):

@@ -39,7 +39,7 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                    weight_decay: float, grad_clip: float,
                    compute_dtype=None, summary_n_seg: int = 0,
                    summary_seed: int = 0, normalize: bool = False,
-                   store_dtype=None):
+                   store_dtype=None, dequant: bool = False):
     """Build (once per static config) the jitted vmapped training program.
 
     ``summary_n_seg > 0`` appends the on-device normative summary
@@ -95,7 +95,16 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_one(Xm_i, Xl_i, n_i, key, sham_i=None, subj_i=None):
+    def train_one(Xm_i, Xl_i, n_i, key, sham_i=None, subj_i=None,
+                  qparams=None):
+        if dequant:
+            # uint16 fixed-point upload (train.quantize): decode the raw
+            # blocks on device; sentinels restore NaN/inf for the
+            # normalization's median-imputation
+            from .quantize import dequantize_u16
+            lo_m, sc_m, lo_l, sc_l = qparams
+            Xm_i = dequantize_u16(Xm_i, lo_m, sc_m)
+            Xl_i = dequantize_u16(Xl_i, lo_l, sc_l)
         if normalize:
             from .data import normalize_on_device
             Xm_i, Xl_i, norm_stats = normalize_on_device(Xm_i, Xl_i, n_i)
@@ -167,11 +176,20 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
             out = out + (Xm_i, Xl_i, norm_stats)
         return out
 
-    if summary_n_seg > 0:
-        return (jax.jit(jax.vmap(train_one,
-                                 in_axes=(0, 0, 0, 0, 0, 0))),
-                module, n_batches)
-    return jax.jit(jax.vmap(train_one)), module, n_batches
+    # wrappers fix the positional arity per static flag combination so
+    # jax.vmap maps every argument over the member axis
+    if summary_n_seg > 0 and dequant:
+        fn = lambda Xm, Xl, n, k, sh, su, *q: train_one(  # noqa: E731
+            Xm, Xl, n, k, sh, su, qparams=q)
+    elif summary_n_seg > 0:
+        fn = lambda Xm, Xl, n, k, sh, su: train_one(     # noqa: E731
+            Xm, Xl, n, k, sh, su)
+    elif dequant:
+        fn = lambda Xm, Xl, n, k, *q: train_one(         # noqa: E731
+            Xm, Xl, n, k, qparams=q)
+    else:
+        fn = train_one
+    return jax.jit(jax.vmap(fn)), module, n_batches
 
 
 class FleetHandle:
@@ -225,7 +243,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      seed: int = 42, compute_dtype=None,
                      summary_spec=None,
                      normalize_on_device: bool = False,
-                     mesh=None, store_dtype=None) -> FleetHandle:
+                     mesh=None, store_dtype=None,
+                     quantize_upload: bool = False) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -259,21 +278,43 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
     lesion_ch = Xl.shape[3]
     assert (n_pad // batch_size) * batch_size == n_pad, \
         "pad the row axis to a multiple of batch_size"
+    if quantize_upload and not normalize_on_device:
+        raise ValueError("quantize_upload requires normalize_on_device "
+                         "(the decoded raw values feed the on-device "
+                         "normalization; see train.quantize)")
     n_seg = norm_seed = 0
     if summary_spec is not None:
         sham_T, subj_idx_T, n_seg, norm_seed = summary_spec
     program, module, n_batches = _fleet_program(
         n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
         lr, weight_decay, grad_clip, compute_dtype, int(n_seg),
-        int(norm_seed), bool(normalize_on_device), store_dtype)
+        int(norm_seed), bool(normalize_on_device), store_dtype,
+        bool(quantize_upload))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
-    # dataset stays f32: bf16 row-gathers lower very poorly on TPU (measured
-    # 2x slower than the f32 program); the model casts to the compute dtype
-    # after the batch gather instead
-    if normalize_on_device:
+    qargs = ()
+    if quantize_upload:
+        # uint16 fixed-point codes: HALF the f32 bytes on the H2D link (the
+        # bench bottleneck, 7-40 MB/s measured); decoded on device with
+        # per-(member, feature) affine params (train.quantize)
+        import time as _time
+        from .quantize import quantize_u16
+        _t0 = _time.perf_counter()
+        cm, lo_m, sc_m = quantize_u16(Xm)
+        cl, lo_l, sc_l = quantize_u16(Xl)
+        _tq = _time.perf_counter() - _t0
+        Xm_j = jnp.asarray(cm)
+        Xl_j = jnp.asarray(cl)
+        qargs = (jnp.asarray(lo_m), jnp.asarray(sc_m),
+                 jnp.asarray(lo_l), jnp.asarray(sc_l))
+        log.info("u16 upload: quantized %.0f MB in %.2fs (-> %.0f MB on "
+                 "the wire)", (Xm.nbytes + Xl.nbytes) / 1e6, _tq,
+                 (cm.nbytes + cl.nbytes) / 1e6)
+    elif normalize_on_device:
         # keep non-finite values: the in-program normalization must see them
         # to median-impute exactly like the reference (normalization.py:54)
+        # (dataset stays f32: bf16 row-gathers lower very poorly on TPU,
+        # measured 2x slower; the model casts after the batch gather)
         Xm_j = jnp.asarray(Xm, jnp.float32)
         Xl_j = jnp.asarray(Xl, jnp.float32)
     else:
@@ -294,15 +335,17 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
 
     # async: the jit call enqueues the whole fleet program and returns device
     # futures — callers can overlap host work before fetching
+    if mesh is not None and qargs:
+        qargs = tuple(jax.device_put(q, member_sh) for q in qargs)
     if summary_spec is not None:
         sham_j = jnp.asarray(sham_T, jnp.float32)
         subj_j = jnp.asarray(subj_idx_T, jnp.int32)
         if mesh is not None:
             sham_j = jax.device_put(sham_j, member_sh)
             subj_j = jax.device_put(subj_j, member_sh)
-        out = program(Xm_j, Xl_j, n_j, keys, sham_j, subj_j)
+        out = program(Xm_j, Xl_j, n_j, keys, sham_j, subj_j, *qargs)
     else:
-        out = program(Xm_j, Xl_j, n_j, keys)
+        out = program(Xm_j, Xl_j, n_j, keys, *qargs)
     params_T, stats_T, hist_T = out[:3]
     summ = out[3] if summary_spec is not None else None
     norm_stats_T = None
