@@ -143,6 +143,17 @@ def main(argv=None) -> int:
     p.add_argument("--subjects", nargs="*", default=None,
                    help="default: all config subjects")
 
+    p = sub.add_parser("score-cohort",
+                       help="serving: z-score subjects against EVERY "
+                            "checkpointed (tract x timepoint) member in one "
+                            "vmapped device program")
+    _add_common(p)
+    p.add_argument("--cohort-dir", default=None,
+                   help="run_vae_cohort output dir with checkpoints/ "
+                        "(default: <output>/vae_cohort)")
+    p.add_argument("--subjects", nargs="*", default=None,
+                   help="default: all config subjects")
+
     p = sub.add_parser("synth", help="generate a synthetic cohort")
     _add_common(p)
     p.add_argument("--n-streamlines", type=int, default=30)
@@ -255,6 +266,19 @@ def main(argv=None) -> int:
             csv = out / f"scores_{args.tract}_{args.timepoint}.csv"
             summary.to_csv(csv, index=False)
             log.info("wrote %d subject scores -> %s", len(summary), csv)
+
+        elif args.stage == "score-cohort":
+            from .pipeline.infer import score_cohort
+            cohort_dir = (Path(args.cohort_dir) if args.cohort_dir
+                          else out_root / "vae_cohort")
+            subjects = args.subjects or [
+                s for subs in config.subjects_by_group().values()
+                for s in subs]
+            out = score_cohort(cohort_dir, base, subjects, config=config,
+                               seed=args.seed,
+                               output_dir=out_root / "serving")
+            log.info("wrote %d member-subject scores -> %s", len(out),
+                     out_root / "serving" / "cohort_scores.csv")
 
         elif args.stage == "synth":
             from .io.synth import generate_cohort

@@ -65,3 +65,132 @@ def load_normative(npz_path: str | Path) -> Dict[str, np.ndarray]:
     (zscores_{tp}.npz: norm_mean / norm_std)."""
     z = np.load(npz_path, allow_pickle=True)
     return {"mean": z["norm_mean"], "std": z["norm_std"]}
+
+
+def score_cohort(cohort_dir: str | Path, base_path: str | Path,
+                 subjects: Sequence, config: Optional[Config] = None,
+                 keys: Optional[Sequence] = None, seed: int = 0,
+                 output_dir: str | Path | None = None) -> pd.DataFrame:
+    """Score a whole cohort of checkpointed members as ONE device program.
+
+    Mirrors the fleet trainer's design for serving (SURVEY.md §5.7: batch
+    the whole cohort into single dispatches): every ``(tract, timepoint)``
+    member under ``cohort_dir/checkpoints`` — the layout
+    ``run_vae_cohort(save_checkpoints=True)`` writes, with its normative
+    ``zscores_{tract}_{tp}.npz`` sibling — is loaded, the subjects' tensors
+    are padded into one ``(T, n_pad, L, C)`` block, and normalization
+    (checkpointed per-member stats), eval-mode reconstruction, and the
+    z-score magnitude all run in one vmapped jit.  ``score_subjects``
+    dispatches one program per member; at cohort scale (64 members) this is
+    one dispatch total.
+
+    Returns one summary row per (tract, timepoint, subject): mean/std/max/
+    count of per-streamline z magnitudes; also writes ``cohort_scores.csv``
+    when ``output_dir`` is given.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    config = config or load_config()
+    cohort_dir = Path(cohort_dir)
+    ckpt_root = cohort_dir / "checkpoints"
+    if keys is None:
+        keys = []
+        for d in sorted(ckpt_root.iterdir()):
+            if d.is_dir():
+                tract, tp = d.name.rsplit("_", 1)
+                keys.append((tract, tp))
+    if not keys:
+        raise ValueError(f"no member checkpoints under {ckpt_root}")
+
+    groups_dict = {g: list(s) for g, s in config.subjects_by_group().items()}
+    members, tensors = [], []
+    module = None
+    for tract, tp in keys:
+        model, norm_stats = load_vae(ckpt_root / f"{tract}_{tp}")
+        if norm_stats is None:
+            raise ValueError(f"{tract}_{tp} checkpoint lacks norm stats")
+        if module is None:
+            module = model.module
+        elif (module.seq_len, module.micro_ch, module.lesion_ch,
+              module.latent) != (model.module.seq_len, model.module.micro_ch,
+                                 model.module.lesion_ch, model.module.latent):
+            raise ValueError("cohort members have mismatched architectures")
+        norm = load_normative(cohort_dir / f"zscores_{tract}_{tp}.npz")
+        try:
+            Xm, Xl, sids, glabels, _ = vdata.build_tensor_with_lesion_context(
+                base_path, tract, tp, subjects,
+                config.microstructure_features, config.lesion_features,
+                groups_dict)
+        except ValueError as e:   # no data for this member -> skip
+            log.warning("skipping %s@%s: %s", tract, tp, e)
+            continue
+        members.append(dict(tract=tract, tp=tp, model=model,
+                            norm_stats=norm_stats, norm=norm, sids=sids,
+                            groups=glabels))
+        tensors.append((Xm, Xl))
+    if not members:
+        return pd.DataFrame()
+
+    n_pad = max(x.shape[0] for x, _ in tensors)
+    T = len(members)
+    L, Cm = tensors[0][0].shape[1:]
+    Cl = tensors[0][1].shape[2]
+    Xm_T = np.zeros((T, n_pad, L, Cm), np.float32)
+    Xl_T = np.zeros((T, n_pad, L, Cl), np.float32)
+    n_real = np.zeros(T, np.int32)
+    for i, (xm, xl) in enumerate(tensors):
+        Xm_T[i, :len(xm)] = xm
+        Xl_T[i, :len(xl)] = xl
+        n_real[i] = len(xm)
+
+    stack = lambda xs: jax.tree.map(  # noqa: E731
+        lambda *a: jnp.stack([jnp.asarray(x) for x in a]), *xs)
+    params_T = stack([m["model"].params for m in members])
+    stats_T = stack([m["model"].batch_stats for m in members])
+    med_T = jnp.asarray(np.stack([m["norm_stats"]["median"]
+                                  for m in members]))
+    mean_T = jnp.asarray(np.stack([m["norm_stats"]["mean"]
+                                   for m in members]))
+    std_T = jnp.asarray(np.stack([m["norm_stats"]["std"] for m in members]))
+    nm_T = jnp.asarray(np.stack([m["norm"]["mean"] for m in members]))
+    ns_T = jnp.asarray(np.stack([m["norm"]["std"] for m in members]))
+
+    mod = module
+
+    def score_one(p, s, med, mean, std, nm, ns, Xm_i, Xl_i, key):
+        # checkpointed normalization stats, applied on device
+        # (train.data.apply_normalization semantics)
+        fin = jnp.isfinite(Xm_i)
+        Xc = jnp.where(fin, Xm_i, med[None, None, :])
+        Xz = jnp.clip((Xc - mean[None, None, :]) / std[None, None, :],
+                      -1e6, 1e6)
+        Xl_i = jnp.nan_to_num(Xl_i, nan=0.0)
+        xh, _, _ = mod.apply({"params": p, "batch_stats": s}, Xz, Xl_i,
+                             key, None, False)
+        z = (Xz - jnp.nan_to_num(xh, nan=0.0) - nm[None]) / ns[None]
+        z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
+        return jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
+
+    mags = np.asarray(jax.jit(jax.vmap(score_one))(
+        params_T, stats_T, med_T, mean_T, std_T, nm_T, ns_T,
+        jnp.asarray(Xm_T), jnp.asarray(Xl_T),
+        jax.random.split(jax.random.PRNGKey(seed), T)))
+
+    rows = []
+    for i, m in enumerate(members):
+        df = pd.DataFrame({"subject_id": m["sids"], "group": m["groups"],
+                           "z_magnitude": mags[i, :n_real[i]]})
+        summ = (df.groupby(["subject_id", "group"])["z_magnitude"]
+                .agg(["mean", "std", "max", "count"]).reset_index())
+        summ.insert(0, "tract", m["tract"])
+        summ.insert(1, "timepoint", m["tp"])
+        rows.append(summ)
+    out = pd.concat(rows, ignore_index=True)
+    log.info("scored %d members x %d subjects in one program",
+             T, out["subject_id"].nunique())
+    if output_dir is not None:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        out.to_csv(output_dir / "cohort_scores.csv", index=False)
+    return out

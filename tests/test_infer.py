@@ -36,3 +36,50 @@ def test_checkpoint_then_score(tmp_path):
         <= set(summary.columns)
     assert summary["count"].sum() > 0
     assert np.isfinite(summary["mean"]).all()
+
+
+def test_score_cohort_one_program(tmp_path):
+    """Fleet serving: every checkpointed member scored in ONE vmapped
+    program; per-member results equal the one-at-a-time score_subjects
+    path."""
+    import json
+
+    from lesionvae_tpu import cli
+    from lesionvae_tpu.core.config import load_config
+    from lesionvae_tpu.pipeline.infer import load_normative, score_cohort
+    from lesionvae_tpu.pipeline.vae_run import run_vae_cohort
+
+    cfg = tiny_config(n_per_group=2, tracts=["atr_left", "fimbria_right"])
+    root = synth.generate_cohort(tmp_path / "cohort", cfg, seed=17,
+                                 n_streamlines=8, volume_shape=(12, 12, 12),
+                                 with_profiles=True)
+    subjects = [s for subs in cfg.subjects_by_group().values() for s in subs]
+    run_vae_cohort(["atr_left", "fimbria_right"], latent_dim=2, epochs=2,
+                   batch_size=16, config=cfg, base_path=root,
+                   timepoints=["9d"], output_dir=root / "results" / "vae_cohort",
+                   seed=0, save_checkpoints=True)
+
+    out = score_cohort(root / "results" / "vae_cohort", root, subjects,
+                       config=cfg, seed=3,
+                       output_dir=root / "results" / "serving")
+    assert (root / "results" / "serving" / "cohort_scores.csv").exists()
+    assert set(out["tract"]) == {"atr_left", "fimbria_right"}
+    assert np.isfinite(out["mean"]).all()
+
+    # per-member parity with the single-member serving path
+    norm = load_normative(root / "results" / "vae_cohort"
+                          / "zscores_atr_left_9d.npz")
+    single = score_subjects(
+        root / "results" / "vae_cohort" / "checkpoints" / "atr_left_9d",
+        norm["mean"], norm["std"], root, "atr_left", "9d", subjects,
+        config=cfg, seed=3)
+    batched = out[(out["tract"] == "atr_left")
+                  & (out["timepoint"] == "9d")]
+    merged = single.merge(batched, on=["subject_id", "group"],
+                          suffixes=("_s", "_b"))
+    assert len(merged) == len(single)
+    # the eval forward SAMPLES z (reference semantics, vae_model.py:117-121)
+    # and the two paths draw from different key streams/shapes, so parity
+    # is at sampling-noise level, not bitwise
+    np.testing.assert_allclose(merged["mean_b"], merged["mean_s"], rtol=5e-3)
+    np.testing.assert_allclose(merged["max_b"], merged["max_s"], rtol=5e-3)
