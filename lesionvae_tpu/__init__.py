@@ -33,6 +33,12 @@ _LAZY = {
     "LesionConditionedVAE": ("models.lesion_vae", None),
     "elbo": ("models.elbo", None),
     "beta_schedule": ("models.elbo", None),
+    # cohort-scale additions beyond the reference's surface
+    "run_vae_cohort": ("pipeline.vae_run", None),
+    "launch_many_vaes": ("train.batched", None),
+    "score_subjects": ("pipeline.infer", None),
+    "score_cohort": ("pipeline.infer", None),
+    "load_normative": ("pipeline.infer", None),
 }
 
 __all__ += list(_LAZY)
