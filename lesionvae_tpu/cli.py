@@ -277,8 +277,12 @@ def main(argv=None) -> int:
             out = score_cohort(cohort_dir, base, subjects, config=config,
                                seed=args.seed,
                                output_dir=out_root / "serving")
-            log.info("wrote %d member-subject scores -> %s", len(out),
-                     out_root / "serving" / "cohort_scores.csv")
+            csv = out_root / "serving" / "cohort_scores.csv"
+            if len(out):
+                log.info("wrote %d member-subject scores -> %s", len(out),
+                         csv)
+            else:
+                log.warning("no members scored; empty %s written", csv)
 
         elif args.stage == "synth":
             from .io.synth import generate_cohort

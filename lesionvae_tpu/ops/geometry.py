@@ -42,7 +42,11 @@ METRIC_NAMES = (
 # 1e-4·λ1 certifies the reference's 1e-12 inf gate with >100x margin and
 # caps unrefined ratio error at ~1%.
 EIGEN_SAFE_REL = 1e-4
-EIGEN_SAFE_ABS = 1e-8   # λ1 floor: below this the whole curve is point-scale
+# λ1 floor: the relative certificate only clears the reference's ABSOLUTE
+# 1e-12 gate when 1e-4·λ1 − 7e-7·λ1 > 1e-12, i.e. λ1 > ~1.007e-8 — so the
+# floor sits 10x above that crossover; smaller (point-scale) curves always
+# take the exact f64 host path
+EIGEN_SAFE_ABS = 1e-7
 
 
 def _masked_gradient(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:

@@ -116,7 +116,14 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
               module.latent) != (model.module.seq_len, model.module.micro_ch,
                                  model.module.lesion_ch, model.module.latent):
             raise ValueError("cohort members have mismatched architectures")
-        norm = load_normative(cohort_dir / f"zscores_{tract}_{tp}.npz")
+        npz = cohort_dir / f"zscores_{tract}_{tp}.npz"
+        if not npz.exists():
+            # run_vae_cohort only writes normative stats for members with
+            # at least one Sham row — skip, don't abort the whole cohort
+            log.warning("skipping %s@%s: no normative stats (%s)", tract,
+                        tp, npz.name)
+            continue
+        norm = load_normative(npz)
         try:
             Xm, Xl, sids, glabels, _ = vdata.build_tensor_with_lesion_context(
                 base_path, tract, tp, subjects,
@@ -129,8 +136,16 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
                             norm_stats=norm_stats, norm=norm, sids=sids,
                             groups=glabels))
         tensors.append((Xm, Xl))
+    empty_cols = ["tract", "timepoint", "subject_id", "group", "mean",
+                  "std", "max", "count"]
     if not members:
-        return pd.DataFrame()
+        out = pd.DataFrame(columns=empty_cols)
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+            out.to_csv(output_dir / "cohort_scores.csv", index=False)
+        log.warning("score_cohort: no scoreable members")
+        return out
 
     n_pad = max(x.shape[0] for x, _ in tensors)
     T = len(members)
@@ -158,18 +173,18 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
 
     mod = module
 
+    from ..train.data import apply_normalization_device
+    from ..train.normative import z_residual
+
     def score_one(p, s, med, mean, std, nm, ns, Xm_i, Xl_i, key):
-        # checkpointed normalization stats, applied on device
-        # (train.data.apply_normalization semantics)
-        fin = jnp.isfinite(Xm_i)
-        Xc = jnp.where(fin, Xm_i, med[None, None, :])
-        Xz = jnp.clip((Xc - mean[None, None, :]) / std[None, None, :],
-                      -1e6, 1e6)
-        Xl_i = jnp.nan_to_num(Xl_i, nan=0.0)
+        # checkpointed normalization stats, applied on device — the SAME
+        # traceable helpers as training (train.data / train.normative), so
+        # serving cannot silently diverge from the training-side semantics
+        Xz, Xl_i = apply_normalization_device(
+            Xm_i, Xl_i, {"median": med, "mean": mean, "std": std})
         xh, _, _ = mod.apply({"params": p, "batch_stats": s}, Xz, Xl_i,
                              key, None, False)
-        z = (Xz - jnp.nan_to_num(xh, nan=0.0) - nm[None]) / ns[None]
-        z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
+        z = z_residual(Xz, xh, nm, ns)
         return jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
 
     mags = np.asarray(jax.jit(jax.vmap(score_one))(

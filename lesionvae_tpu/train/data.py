@@ -210,9 +210,23 @@ def normalize_on_device(Xm_i, Xl_i, n_i):
     mean = jnp.where(any_valid, mean, 0.0)
     std = jnp.where(any_valid, std, 1.0)
 
+    stats = {"median": med, "mean": mean, "std": std}
+    Xz, Xl = apply_normalization_device(Xm_i, Xl_i, stats)
+    return Xz, Xl, stats
+
+
+def apply_normalization_device(Xm_i, Xl_i, stats):
+    """Traceable APPLY-only twin of :func:`apply_normalization` with given
+    stats (median-impute non-finite, z-score, clamp ±1e6; reference
+    normalization.py:43-69).  The one definition shared by the in-program
+    fit+apply (:func:`normalize_on_device`) and batch serving
+    (pipeline.infer.score_cohort, which applies CHECKPOINTED stats)."""
+    import jax.numpy as jnp
+
+    med = stats["median"]
     fin = jnp.isfinite(Xm_i)
     Xc = jnp.where(fin, Xm_i, med[None, None, :])
-    Xz = jnp.clip((Xc - mean[None, None, :]) / std[None, None, :],
-                  -1e6, 1e6)
+    Xz = jnp.clip((Xc - stats["mean"][None, None, :])
+                  / stats["std"][None, None, :], -1e6, 1e6)
     Xl = jnp.nan_to_num(Xl_i, nan=0.0)
-    return Xz, Xl, {"median": med, "mean": mean, "std": std}
+    return Xz, Xl

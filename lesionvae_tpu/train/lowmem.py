@@ -71,15 +71,21 @@ def _store_round(x32: jnp.ndarray, bits, dtype) -> jnp.ndarray:
 
     bf16 = the top 16 bits of the f32 pattern, so adding uniform 16-bit
     noise and truncating implements exact SR between the two neighboring
-    bf16 values; finite inputs stay finite (the carry path toward the
-    exponent is the rounding-up case itself)."""
+    bf16 values (carry into the exponent IS the rounding-up case).  A
+    finite value within one ulp of bf16-max could stochastically carry to
+    the inf pattern — a permanently-poisoned weight the finite-loss
+    rollback cannot undo — so finite inputs saturate at ±bf16-max."""
     if dtype == jnp.float32:
         return x32
     assert dtype == jnp.bfloat16, "only f32/bf16 storage supported"
     x32 = x32.astype(jnp.float32)  # x64 mode can promote the update math
     u = jax.lax.bitcast_convert_type(x32, jnp.uint32)
     u = (u + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(u, jnp.float32).astype(jnp.bfloat16)
+    r = jax.lax.bitcast_convert_type(u, jnp.float32)
+    big = jnp.float32(3.3895313892515355e38)      # bf16 max finite
+    r = jnp.where(jnp.isfinite(x32) & ~jnp.isfinite(r),
+                  jnp.sign(x32) * big, r)
+    return r.astype(jnp.bfloat16)
 
 
 class LowmemOptimizer:

@@ -37,6 +37,36 @@ def compute_normative_statistics(model: TrainedVAE, X_micro_sham,
     return mean_recon, std_recon
 
 
+
+def z_residual(X, xh, mean_r, std_r):
+    """z = (observed − reconstructed − normative_mean) / normative_std with
+    the reference's nan→0 / ±inf→±10 clamp (vae_model.py:318-326).  The ONE
+    definition of this semantics — training summaries, standalone z-score
+    programs, and batch serving (pipeline.infer) all call it."""
+    z = (X - jnp.nan_to_num(xh, nan=0.0) - mean_r[None]) / std_r[None]
+    return jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
+
+
+def normative_core(module, variables, Xm, Xl, sham, k1, k2):
+    """Traceable sham-statistics + z-score body shared by the fused
+    single-member program, the vmapped fleet program, and member_summary
+    (reference semantics vae_model.py:229-334: draw A feeds the sham
+    reconstruction mean/std with the 1e-6 floor, draw B the residuals).
+
+    Returns (mean_r, std_r, z, mag)."""
+    xh_a, _, _ = module.apply(variables, Xm, Xl, k1, None, False)
+    xh_a = jnp.nan_to_num(xh_a, nan=0.0)
+    n_sham = jnp.maximum(jnp.sum(sham), 1.0)
+    w = sham[:, None, None]
+    mean_r = jnp.sum(xh_a * w, axis=0) / n_sham
+    var_r = jnp.sum(((xh_a - mean_r) ** 2) * w, axis=0) / n_sham
+    std_r = jnp.maximum(jnp.sqrt(var_r), 1e-6)
+    xh_b, _, _ = module.apply(variables, Xm, Xl, k2, None, False)
+    z = z_residual(Xm, xh_b, mean_r, std_r)
+    mag = jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
+    return mean_r, std_r, z, mag
+
+
 def normative_zscores_fused(model: TrainedVAE, X_micro, X_lesion,
                             sham_mask: np.ndarray, seed: int = 0
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
@@ -61,21 +91,7 @@ def normative_zscores_fused(model: TrainedVAE, X_micro, X_lesion,
 
     @jax.jit
     def run(variables, Xm, Xl, sham, k1, k2):
-        # draw A: sham statistics (vae_model.py:229-274)
-        xh_a, _, _ = module.apply(variables, Xm, Xl, k1, None, False)
-        xh_a = jnp.nan_to_num(xh_a, nan=0.0)
-        n_sham = jnp.maximum(jnp.sum(sham), 1.0)
-        w = sham[:, None, None]
-        mean_r = jnp.sum(xh_a * w, axis=0) / n_sham
-        var_r = jnp.sum(((xh_a - mean_r) ** 2) * w, axis=0) / n_sham
-        std_r = jnp.maximum(jnp.sqrt(var_r), 1e-6)
-        # draw B: residual z-scores (vae_model.py:277-334)
-        xh_b, _, _ = module.apply(variables, Xm, Xl, k2, None, False)
-        xh_b = jnp.nan_to_num(xh_b, nan=0.0)
-        z = (Xm - xh_b - mean_r[None]) / std_r[None]
-        z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
-        mag = jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
-        return mean_r, std_r, z, mag
+        return normative_core(module, variables, Xm, Xl, sham, k1, k2)
 
     mean_r, std_r, z, mag = run(variables, Xm, Xl, sham,
                                 jax.random.PRNGKey(seed),
@@ -93,19 +109,7 @@ def _fleet_normative_program(module):
 
     def one(params, stats, Xm, Xl, sham, k1, k2):
         variables = {"params": params, "batch_stats": stats}
-        xh_a, _, _ = module.apply(variables, Xm, Xl, k1, None, False)
-        xh_a = jnp.nan_to_num(xh_a, nan=0.0)
-        n_sham = jnp.maximum(jnp.sum(sham), 1.0)
-        w = sham[:, None, None]
-        mean_r = jnp.sum(xh_a * w, axis=0) / n_sham
-        var_r = jnp.sum(((xh_a - mean_r) ** 2) * w, axis=0) / n_sham
-        std_r = jnp.maximum(jnp.sqrt(var_r), 1e-6)
-        xh_b, _, _ = module.apply(variables, Xm, Xl, k2, None, False)
-        xh_b = jnp.nan_to_num(xh_b, nan=0.0)
-        z = (Xm - xh_b - mean_r[None]) / std_r[None]
-        z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
-        mag = jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
-        return mean_r, std_r, z, mag
+        return normative_core(module, variables, Xm, Xl, sham, k1, k2)
 
     # k1/k2 broadcast: the per-member path uses PRNGKey(seed)/PRNGKey(seed+1)
     # for every member identically, so the fleet program does too
@@ -152,18 +156,8 @@ def member_summary(module, params, stats, Xm, Xl, sham, subj_idx,
     full z block reduces ON DEVICE to per-subject mean-|z| profiles via a
     one-hot matmul (rides the MXU); pad rows map to an unused segment."""
     variables = {"params": params, "batch_stats": stats}
-    xh_a, _, _ = module.apply(variables, Xm, Xl, k1, None, False)
-    xh_a = jnp.nan_to_num(xh_a, nan=0.0)
-    n_sham = jnp.maximum(jnp.sum(sham), 1.0)
-    w = sham[:, None, None]
-    mean_r = jnp.sum(xh_a * w, axis=0) / n_sham
-    var_r = jnp.sum(((xh_a - mean_r) ** 2) * w, axis=0) / n_sham
-    std_r = jnp.maximum(jnp.sqrt(var_r), 1e-6)
-    xh_b, _, _ = module.apply(variables, Xm, Xl, k2, None, False)
-    xh_b = jnp.nan_to_num(xh_b, nan=0.0)
-    z = (Xm - xh_b - mean_r[None]) / std_r[None]
-    z = jnp.nan_to_num(z, nan=0.0, posinf=10.0, neginf=-10.0)
-    mag = jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
+    mean_r, std_r, z, mag = normative_core(module, variables, Xm, Xl, sham,
+                                           k1, k2)
     # per-subject mean |z| profile (segment mean over rows, then mean over
     # features — matches pipeline.vae_run's host aggregation
     # np.abs(Z[m]).mean(axis=(0, 2)))

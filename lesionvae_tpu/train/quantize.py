@@ -117,17 +117,23 @@ def quantize_u16(X: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         codes = ((X - lo) * inv + np.float32(0.5)).astype(np.uint16)
         np.minimum(codes, np.uint16(MAX_CODE), out=codes)  # fp-edge guard
         return codes, lo.astype(np.float32), scale
-    # non-finite values present: zero-fill them for the range pass (lo/hi
-    # only need to BRACKET the finite values — including 0 merely widens
-    # the range slightly) and patch sentinel codes sparsely afterwards
+    # non-finite values present: range over the FINITE values only (like
+    # the native kernel — zero-filling before min/max would silently widen
+    # the range to include 0 and inflate the quantization step by orders of
+    # magnitude for features bounded away from 0), then patch sentinel
+    # codes sparsely
     fin = np.isfinite(X)
-    Xz = np.where(fin, X, np.float32(0.0))
-    lo = np.min(Xz, axis=(1, 2), keepdims=True).astype(np.float32)
-    hi = np.max(Xz, axis=(1, 2), keepdims=True).astype(np.float32)
+    masked = np.where(fin, X, np.nan)
+    with np.errstate(invalid="ignore"):
+        lo = np.nanmin(masked, axis=(1, 2), keepdims=True)
+        hi = np.nanmax(masked, axis=(1, 2), keepdims=True)
+    lo = np.nan_to_num(lo, nan=0.0).astype(np.float32)
+    hi = np.nan_to_num(hi, nan=0.0).astype(np.float32)
     scale = ((hi - lo) / MAX_CODE).astype(np.float32)
     inv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0),
                    0.0).astype(np.float32)
-    codes = ((Xz - lo) * inv + np.float32(0.5)).astype(np.uint16)
+    Xc = np.where(fin, X, lo)       # bad entries: code 0, overwritten below
+    codes = ((Xc - lo) * inv + np.float32(0.5)).astype(np.uint16)
     np.minimum(codes, np.uint16(MAX_CODE), out=codes)
     bad = np.nonzero(~fin)
     vals = X[bad]

@@ -19,6 +19,11 @@ def test_roundtrip_precision_and_sentinels():
     X[1, 2, 3, 1] = np.inf
     X[2, 4, 5, 2] = -np.inf
     X[:, :, :, 4] = 7.25            # constant feature: exact roundtrip
+    # feature bounded far from 0 + a NaN: the fallback must range over the
+    # FINITE values only, not zero-fill (review finding: zero-filling would
+    # inflate this feature's quantization step ~1000x)
+    X[:, :, :, 3] = 1000.0 + np.abs(X[:, :, :, 3]) % 1.0
+    X[1, 1, 1, 3] = np.nan
     codes, lo, scale = quantize_u16(X)
     assert codes[0, 0, 0, 0] == SENT_NAN
     assert codes[1, 2, 3, 1] == SENT_PINF
@@ -31,6 +36,9 @@ def test_roundtrip_precision_and_sentinels():
         # max error = scale/2 per (member, feature) + decode rounding
         tol = np.broadcast_to(scale[t] * 0.5 + 1e-6, X[t].shape)
         assert (np.abs(dec[fin] - X[t][fin]) <= tol[fin] * 1.01).all()
+        # far-from-zero feature keeps its ~1.5e-5 RANGE precision despite
+        # the NaN routing it through the non-finite path
+        assert scale[t, 0, 0, 3] < 1.0 / 65000
         assert np.isnan(dec[~np.isfinite(X[t]) & np.isnan(X[t])]).all()
         np.testing.assert_array_equal(dec[:, :, 4], 7.25)
     # relative range precision is ~1.5e-5
