@@ -191,15 +191,15 @@ def make_optimizer_m16(lr, weight_decay, grad_clip):
     return types.SimpleNamespace(init=init, update=update)
 
 
-def bench_train_program(store: bool, epochs: int = 2):
+def bench_train_program(store: bool, epochs: int = 2, flat: bool = False):
     """Time the PRODUCTION fleet program (train.batched._fleet_program) with
-    and without the bf16-storage fast path."""
+    and without the bf16-storage fast path (and its flat-buffer variant)."""
     from benchmarks.fleet_step import CL, CM, DTYPE, L, LATENT
     from lesionvae_tpu.train.batched import _fleet_program
 
     program, _, n_batches = _fleet_program(
         N_PAD, L, CM, CL, LATENT, epochs, BATCH, 2e-4, 1e-3, 2.0, DTYPE,
-        0, 0, False, jnp.bfloat16 if store else None)
+        0, 0, False, jnp.bfloat16 if store else None, False, flat)
     rng = np.random.default_rng(0)
     Xm = jnp.asarray(rng.normal(size=(T, N_PAD, L, CM)), jnp.float32)
     Xl = jnp.asarray(rng.uniform(size=(T, N_PAD, L, CL)), jnp.float32)
@@ -212,7 +212,8 @@ def bench_train_program(store: bool, epochs: int = 2):
     hist = np.asarray(out[2])
     dt = (time.perf_counter() - t0) / 2
     steps = epochs * n_batches
-    tag = "train-bf16store" if store else "train-f32store"
+    tag = ("train-bf16flat" if flat
+           else "train-bf16store" if store else "train-f32store")
     log(f"[{tag}] {dt / steps * 1e3:.2f} ms/fleet-step "
         f"({T * steps / dt:.0f} member-steps/s; "
         f"final loss {hist[:, -1, 0].mean():.4f} finite={np.isfinite(hist).all()})")
@@ -233,6 +234,8 @@ def main():
             bench_full(module, tx, Xm, Xl, params, stats, opt_state, unroll)
         elif m == "trainstore":
             bench_train_program(store=True)
+        elif m == "trainflat":
+            bench_train_program(store=True, flat=True)
         elif m == "trainf32":
             bench_train_program(store=False)
         elif m == "moments16":

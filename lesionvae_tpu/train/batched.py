@@ -39,7 +39,8 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
                    weight_decay: float, grad_clip: float,
                    compute_dtype=None, summary_n_seg: int = 0,
                    summary_seed: int = 0, normalize: bool = False,
-                   store_dtype=None, dequant: bool = False):
+                   store_dtype=None, dequant: bool = False,
+                   flat_opt: bool = False):
     """Build (once per static config) the jitted vmapped training program.
 
     ``summary_n_seg > 0`` appends the on-device normative summary
@@ -64,9 +65,13 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         # bf16-STORAGE fast path (train.lowmem): the step is HBM-bound on
         # f32 weight + Adam-moment streams (measured — see lowmem docstring);
         # weight leaves and their moments store in bf16 with stochastic
-        # rounding, optimizer math stays f32
-        from .lowmem import LowmemOptimizer
-        tx = LowmemOptimizer(lr, weight_decay, grad_clip)
+        # rounding, optimizer math stays f32.  ``flat_opt`` runs the
+        # optimizer on the two flat buffers of flatten_partition — measured
+        # 6x SLOWER on v5e (per-step tiled-layout relayouts; see the
+        # flatten_partition docstring), kept opt-in for re-measurement
+        from .lowmem import FlatLowmemOptimizer, LowmemOptimizer
+        tx = (FlatLowmemOptimizer if flat_opt
+              else LowmemOptimizer)(lr, weight_decay, grad_clip)
     else:
         tx = make_optimizer(lr, weight_decay, grad_clip)
 
@@ -93,8 +98,6 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         loss, recon, kld = elbo(xh, xb_m, mu, logv, beta=beta, mask=mask)
         return loss, (recon, kld, new_vars["batch_stats"])
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
     def train_one(Xm_i, Xl_i, n_i, key, sham_i=None, subj_i=None,
                   qparams=None):
         if dequant:
@@ -112,10 +115,26 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
         if store_dtype is not None:
             from .lowmem import cast_params_storage
             params = cast_params_storage(params, store_dtype)
-            opt_state = tx.init(params, salt=jax.random.bits(
-                jax.random.fold_in(key, 7), (), jnp.uint32))
+            salt = jax.random.bits(jax.random.fold_in(key, 7), (), jnp.uint32)
+            if flat_opt:
+                from .lowmem import flatten_partition
+                fw, fo, unflat = flatten_partition(params)
+                pp = (fw, fo)
+                to_model = lambda t: unflat(*t)          # noqa: E731
+            else:
+                pp, to_model = params, (lambda t: t)     # noqa: E731
+            opt_state = tx.init(pp, salt=salt)
         else:
+            pp, to_model = params, (lambda t: t)         # noqa: E731
             opt_state = tx.init(params)
+
+        # the scan carry holds ``pp`` (the param tree, or the flat buffer
+        # pair); gradients come out in the SAME representation because the
+        # loss unflattens inside
+        def loss_pp(pp_, stats, xb_m, xb_l, mask, rng, beta):
+            return loss_fn(to_model(pp_), stats, xb_m, xb_l, mask, rng, beta)
+
+        grad_pp = jax.value_and_grad(loss_pp, has_aux=True)
 
         def epoch_step(carry, inputs):
             ep_key, beta = inputs
@@ -130,28 +149,28 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
             rngs = jax.random.split(k_eps, n_batches)
 
             def batch_step(carry, inputs):
-                params, stats, opt_state = carry
+                pp, stats, opt_state = carry
                 b, rng = inputs
                 start = b * batch_size
                 idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
                 xb_m = jnp.take(Xm_i, idx, axis=0)
                 xb_l = jnp.take(Xl_i, idx, axis=0)
                 mask = jax.lax.dynamic_slice_in_dim(mask_ep, start, batch_size)
-                (loss, (recon, kld, new_stats)), grads = grad_fn(
-                    params, stats, xb_m, xb_l, mask, rng, beta)
+                (loss, (recon, kld, new_stats)), grads = grad_pp(
+                    pp, stats, xb_m, xb_l, mask, rng, beta)
                 finite = jnp.isfinite(loss)
                 if store_dtype is not None:
-                    cand, new_opt = tx.step(grads, opt_state, params)
+                    cand, new_opt = tx.step(grads, opt_state, pp)
                 else:
-                    updates, new_opt = tx.update(grads, opt_state, params)
-                    cand = jax.tree.map(lambda a, u: a + u, params, updates)
-                new_params = jax.tree.map(
-                    lambda a, c: jnp.where(finite, c, a), params, cand)
+                    updates, new_opt = tx.update(grads, opt_state, pp)
+                    cand = jax.tree.map(lambda a, u: a + u, pp, updates)
+                new_pp = jax.tree.map(
+                    lambda a, c: jnp.where(finite, c, a), pp, cand)
                 new_opt_state = jax.tree.map(
                     lambda a, c: jnp.where(finite, c, a), opt_state, new_opt)
                 nv = jnp.sum(mask)
                 w = jnp.where(finite, 1.0, 0.0)
-                return ((new_params, new_stats, new_opt_state),
+                return ((new_pp, new_stats, new_opt_state),
                         w * jnp.stack([loss * nv, recon * nv, kld * nv, nv]))
 
             carry, stats = jax.lax.scan(
@@ -162,8 +181,9 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
 
         k_run = jax.random.fold_in(key, 1)
         ep_keys = jax.random.split(k_run, epochs)
-        (params, batch_stats, _), hist = jax.lax.scan(
-            epoch_step, (params, batch_stats, opt_state), (ep_keys, betas))
+        (pp, batch_stats, _), hist = jax.lax.scan(
+            epoch_step, (pp, batch_stats, opt_state), (ep_keys, betas))
+        params = to_model(pp)
         out = (params, batch_stats, hist)
         if summary_n_seg > 0:
             from .normative import member_summary
@@ -244,7 +264,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      summary_spec=None,
                      normalize_on_device: bool = False,
                      mesh=None, store_dtype=None,
-                     quantize_upload: bool = False) -> FleetHandle:
+                     quantize_upload: bool = False,
+                     flat_opt: bool = False) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -282,6 +303,9 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         raise ValueError("quantize_upload requires normalize_on_device "
                          "(the decoded raw values feed the on-device "
                          "normalization; see train.quantize)")
+    if flat_opt and store_dtype is None:
+        raise ValueError("flat_opt is part of the lowmem fast path; set "
+                         "store_dtype (e.g. jnp.bfloat16) to enable it")
     n_seg = norm_seed = 0
     if summary_spec is not None:
         sham_T, subj_idx_T, n_seg, norm_seed = summary_spec
@@ -289,7 +313,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         n_pad, seq_len, micro_ch, lesion_ch, latent_dim, epochs, batch_size,
         lr, weight_decay, grad_clip, compute_dtype, int(n_seg),
         int(norm_seed), bool(normalize_on_device), store_dtype,
-        bool(quantize_upload))
+        bool(quantize_upload), bool(flat_opt))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
     qargs = ()

@@ -148,3 +148,116 @@ class LowmemOptimizer:
         nu = jax.tree.map(lambda t: t[2], out, is_leaf=is_triple)
         return new_p, {"count": count_inc, "salt": state["salt"],
                        "mu": mu, "nu": nu}
+
+
+def flatten_partition(params):
+    """Split a (already storage-cast) param tree into two ONE-DIMENSIONAL
+    buffers — ``fw`` concatenating the weight leaves (conv/dense, storage
+    dtype) and ``fo`` the rest (f32) — plus an ``unflatten(fw, fo)`` that
+    rebuilds the tree with static slices + reshapes.
+
+    Hypothesis: the per-leaf Adam pass is dispatch-bound (~30 leaves x 6
+    elementwise streams per member-step); on flat buffers the same math is
+    ~6 ops over 2 contiguous streams, and because the loss unflattens
+    inside, gradients EMERGE flat (the unflatten's backward IS the
+    cotangent concatenation) — no extra pass.
+
+    MEASURED RESULT (benchmarks/fleet_ablate.py trainflat, v5e, T=64):
+    77.9 vs 13.0 ms/fleet-step — 6x WORSE, REJECTED as the default.  TPU
+    tiled layouts are why: a 2D bf16 array lives in (16, 128) tiles, so the
+    1D-slice+reshape that rebuilds each kernel is a full relayout copy per
+    weight per step, and the backward concat pays it again — the relayout
+    bytes dwarf the dispatch savings the flat form buys.  Kept as an
+    opt-in (``flat_opt``) with its numbers so future hardware/compiler
+    revisions can re-measure cheaply."""
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    infos = []                              # (is_weight, shape, size)
+    w_parts, o_parts = [], []
+    for path, x in leaves_with_path:
+        w = _is_weight_leaf(path)
+        infos.append((w, x.shape, x.size))
+        (w_parts if w else o_parts).append(x.reshape(-1))
+    fw = (jnp.concatenate(w_parts) if w_parts
+          else jnp.zeros((0,), jnp.float32))
+    fo = (jnp.concatenate(o_parts) if o_parts
+          else jnp.zeros((0,), jnp.float32))
+
+    def unflatten(fw, fo):
+        out, iw, io = [], 0, 0
+        for w, shape, size in infos:
+            if w:
+                out.append(jax.lax.slice_in_dim(fw, iw, iw + size)
+                           .reshape(shape))
+                iw += size
+            else:
+                out.append(jax.lax.slice_in_dim(fo, io, io + size)
+                           .reshape(shape))
+                io += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return fw, fo, unflatten
+
+
+class FlatLowmemOptimizer:
+    """LowmemOptimizer on the two flat buffers of :func:`flatten_partition`
+    (measured SLOWER in production — see that docstring; kept opt-in).
+
+    Same fused clip→decay→Adam formulas and SR storage write-back; ``params``
+    / ``grads`` are ``(fw, fo)`` pairs instead of trees, so the whole
+    optimizer is ~6 big contiguous elementwise ops instead of ~180 per-leaf
+    ones.  The ONLY numerical difference vs the per-leaf form: the global
+    grad-norm reduces over 2 concatenated buffers rather than summing ~30
+    per-leaf partial sums (different fp reduction order, same value to
+    ~1e-7 rel), and the SR noise stream is indexed by flat-buffer position
+    rather than (leaf, position) — SR is stochastic by design, parity is
+    distributional (tests/test_lowmem.py)."""
+
+    def __init__(self, lr, weight_decay, grad_clip, b1=0.9, b2=0.999,
+                 eps=1e-8):
+        self.lr, self.wd, self.clip = lr, weight_decay, grad_clip
+        self.b1, self.b2, self.eps = b1, b2, eps
+
+    def init(self, pp, salt=None):
+        fw, fo = pp
+        zeros = lambda x: jnp.zeros_like(x)  # noqa: E731
+        return {"count": jnp.zeros([], jnp.int32),
+                "salt": (jnp.zeros([], jnp.uint32) if salt is None
+                         else salt.astype(jnp.uint32)),
+                "mu": (zeros(fw), zeros(fo)),
+                "nu": (zeros(fw), zeros(fo))}
+
+    def step(self, grads, state, pp):
+        b1, b2 = self.b1, self.b2
+        gw, go = grads
+        fw, fo = pp
+        g_norm = jnp.sqrt(jnp.sum(jnp.square(gw.astype(jnp.float32)))
+                          + jnp.sum(jnp.square(go.astype(jnp.float32))))
+        trigger = g_norm < self.clip
+        count_inc = optax.safe_increment(state["count"])
+        bc1 = (1 - b1 ** count_inc).astype(jnp.float32)
+        bc2 = (1 - b2 ** count_inc).astype(jnp.float32)
+        step_salt = (state["salt"]
+                     + count_inc.astype(jnp.uint32) * jnp.uint32(0x01000193))
+
+        def upd(g, p, m, v, salt_off):
+            g = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            g = jax.lax.select(trigger, g, (g / g_norm) * self.clip)
+            g = g + self.wd * p32
+            m2 = (1 - b1) * g + b1 * m.astype(jnp.float32)
+            v2 = (1 - b2) * jnp.square(g) + b2 * v.astype(jnp.float32)
+            u = -self.lr * ((m2 / bc1) / (jnp.sqrt(v2 / bc2) + self.eps))
+            if p.dtype == jnp.float32:
+                return p32 + u, m2, v2
+            bits = _hash_bits(p.shape, step_salt + jnp.uint32(salt_off))
+            return (_store_round(p32 + u, bits, p.dtype),
+                    _store_round(m2, bits ^ jnp.uint32(0x55555555), m.dtype),
+                    _store_round(v2, bits + jnp.uint32(0x33333333), v.dtype))
+
+        mw, mo = state["mu"]
+        vw, vo = state["nu"]
+        new_fw, mw2, vw2 = upd(gw, fw, mw, vw, 0)
+        new_fo, mo2, vo2 = upd(go, fo, mo, vo, 0x9E3779B1)
+        return (new_fw, new_fo), {"count": count_inc, "salt": state["salt"],
+                                  "mu": (mw2, mo2), "nu": (vw2, vo2)}

@@ -84,6 +84,53 @@ def test_cast_params_storage_selects_weight_leaves():
     assert cast["micro_b1"]["bias"].dtype == jnp.float32
 
 
+def test_flat_optimizer_matches_per_leaf_on_f32():
+    """FlatLowmemOptimizer (flatten_partition buffers) must reproduce the
+    per-leaf LowmemOptimizer step on f32 trees to reduction-order tolerance
+    (the global grad-norm sums 2 concatenated buffers vs ~4 per-leaf
+    partials; everything else is elementwise-identical)."""
+    from lesionvae_tpu.train.lowmem import (FlatLowmemOptimizer,
+                                            flatten_partition)
+    params = _tree(2)
+    tx_leaf = LowmemOptimizer(2e-4, 1e-3, 2.0)
+    tx_flat = FlatLowmemOptimizer(2e-4, 1e-3, 2.0)
+    fw, fo, unflat = flatten_partition(params)
+    pp = (fw, fo)
+    o_leaf = tx_leaf.init(params)
+    o_flat = tx_flat.init(pp)
+    p_leaf = params
+    for i in range(4):
+        g_tree = jax.tree.map(lambda p: 0.1 * p + 0.01 * (i + 1), p_leaf)
+        gw, go, _ = flatten_partition(g_tree)
+        p_leaf, o_leaf = tx_leaf.step(g_tree, o_leaf, p_leaf)
+        pp, o_flat = tx_flat.step((gw, go), o_flat, pp)
+    rebuilt = unflat(*pp)
+    for (ka, a), (_kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_leaf)[0],
+            jax.tree_util.tree_flatten_with_path(rebuilt)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8, err_msg=str(ka))
+
+
+def test_flatten_partition_roundtrip():
+    """unflatten(flatten(params)) reproduces the tree exactly, weight
+    leaves in fw, the rest in fo."""
+    from lesionvae_tpu.train.lowmem import flatten_partition
+    params = cast_params_storage(_tree(3), jnp.bfloat16)
+    fw, fo, unflat = flatten_partition(params)
+    assert fw.dtype == jnp.bfloat16 and fw.ndim == 1
+    assert fo.dtype == jnp.float32 and fo.ndim == 1
+    assert fw.size == 40 * 30 + 30 and fo.size == 16
+    rebuilt = unflat(fw, fo)
+    for (ka, a), (_kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(rebuilt)[0]):
+        assert a.dtype == b.dtype, ka
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32),
+                                      err_msg=str(ka))
+
+
 def _data(T=2, n_pad=64, L=32, Cm=5, Cl=3, seed=0):
     rng = np.random.default_rng(seed)
     t = np.linspace(0, 1, L)
@@ -110,3 +157,25 @@ def test_bf16_storage_curve_tracks_f32_storage():
     assert (l16[:, -1] < l16[:, 0]).all()
     rel = np.abs(l16 - l32) / np.abs(l32)
     assert rel.max() < 0.1, f"bf16-storage deviates {rel.max():.3f}"
+
+
+@pytest.mark.slow
+def test_flat_opt_curve_tracks_per_leaf():
+    """The flat-buffer optimizer variant (measured slower in production,
+    kept opt-in — see train.lowmem) must remain numerically sound: its
+    training curve tracks the per-leaf bf16-storage path distributionally
+    (the SR noise streams differ by construction)."""
+    Xm, Xl, n_real = _data()
+    _, h_leaf = train_many_vaes(Xm, Xl, n_real, latent_dim=3, epochs=6,
+                                batch_size=32, seed=3,
+                                compute_dtype=jnp.bfloat16,
+                                store_dtype=jnp.bfloat16)
+    _, h_flat = train_many_vaes(Xm, Xl, n_real, latent_dim=3, epochs=6,
+                                batch_size=32, seed=3,
+                                compute_dtype=jnp.bfloat16,
+                                store_dtype=jnp.bfloat16, flat_opt=True)
+    lf = h_flat[:, :, 0]
+    assert np.isfinite(lf).all()
+    assert (lf[:, -1] < lf[:, 0]).all()
+    rel = np.abs(lf - h_leaf[:, :, 0]) / np.abs(h_leaf[:, :, 0])
+    assert rel.max() < 0.1, f"flat_opt deviates {rel.max():.3f}"
