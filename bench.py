@@ -221,7 +221,7 @@ def main():
     # (BENCH logs r3): u16 wins when the link is slow (geo-finish 4-5 s vs
     # 8-17 s at 15-20 MB/s), f32 wins on fast links (enqueue ~0.2 s vs
     # 2-7 s at >35 MB/s).  'auto' picks by the probed H2D bandwidth.
-    if os.environ.get("BENCH_FLEET_UPLOAD", "auto") == "auto":
+    if _fleet_knobs()["upload"] == "auto":
         choice = "u16" if link[0] < 30.0 else "f32"
         os.environ["BENCH_FLEET_UPLOAD"] = choice
         log(f"[setup] fleet upload auto-policy: {choice} "
@@ -246,11 +246,15 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     runs = [_run_pipeline(root, cfg, warm=False, emit=False)
             for _ in range(repeats)]
-    best_total, best_steps, exclusions, _dt = min(runs, key=lambda r: r[0])
+    best_total, best_steps, exclusions, best_dt = min(runs, key=lambda r: r[0])
     log(f"[bench] repeats: {[round(r[0], 1) for r in runs]} "
         f"-> best {best_total:.2f}s")
+    # device_time_s belongs to the SAME run as value/vae_steps_per_s (one
+    # coherent row); the min across repeats is reported separately as the
+    # weather-independent regression signal
     extra = {"vae_steps_per_s": round(best_steps, 1),
-             "device_time_s": round(min(r[3] for r in runs), 2),
+             "device_time_s": round(best_dt, 2),
+             "device_time_min_s": round(min(r[3] for r in runs), 2),
              "link_h2d_mb_s": round(link[0], 1),
              "link_d2h_mb_s": round(link[1], 1)}
     if cold_start is not None:
@@ -339,20 +343,19 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # models/layers.py.  tests/test_mixed_precision.py pins the bf16 curve
     # to the f32 curve within 10%.
     import jax.numpy as jnp
-    fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[
-        os.environ.get("BENCH_FLEET_DTYPE", "bf16")]
+    knobs = _fleet_knobs()
+    fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[knobs["dtype"]]
     # bf16 STORAGE with stochastic rounding (train.lowmem): the step is
     # HBM-bound on f32 weight+moment streams; bf16 storage measured
     # 17.0 -> 12.9 ms/fleet-step (1.33x) with the curve pinned to f32 in
     # tests/test_lowmem.py.  BENCH_FLEET_STORE=f32 restores full precision.
-    store_dtype = {"f32": None, "bf16": jnp.bfloat16}[
-        os.environ.get("BENCH_FLEET_STORE", "bf16")]
+    store_dtype = {"f32": None, "bf16": jnp.bfloat16}[knobs["store"]]
     # uint16 fixed-point upload (train.quantize): the raw fleet tensors are
     # ~400 MB of the ~600 MB that must cross the 7-40 MB/s link per run —
     # u16 codes halve that at ~1.5e-5 relative range precision (z-scores
     # shift ~1e-4; parity pinned in tests/test_quantize_upload.py).
     # BENCH_FLEET_UPLOAD=f32 restores the full-precision upload.
-    quant = os.environ.get("BENCH_FLEET_UPLOAD", "auto") == "u16"
+    quant = knobs["upload"] == "u16"
     t0 = t_fleet_launch = time.perf_counter()
     handle = launch_many_vaes(
         Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
@@ -415,15 +418,25 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     return total, steps / fleet_wall, exclusions, device_time
 
 
+def _fleet_knobs():
+    """The fleet precision knobs, resolved ONCE: behavior (_run_pipeline)
+    and the honesty report (_approximations) read the same values, so the
+    emitted JSON cannot misstate which knobs were active."""
+    return {"dtype": os.environ.get("BENCH_FLEET_DTYPE", "bf16"),
+            "store": os.environ.get("BENCH_FLEET_STORE", "bf16"),
+            "upload": os.environ.get("BENCH_FLEET_UPLOAD", "auto")}
+
+
 def _approximations():
     """Precision knobs active in this run (each opt-out-able by env; each
     pinned by a distributional-parity test) — reported for honesty."""
+    knobs = _fleet_knobs()
     out = []
-    if os.environ.get("BENCH_FLEET_DTYPE", "bf16") == "bf16":
+    if knobs["dtype"] == "bf16":
         out.append("fleet_compute_bf16")      # tests/test_mixed_precision.py
-    if os.environ.get("BENCH_FLEET_STORE", "bf16") == "bf16":
+    if knobs["store"] == "bf16":
         out.append("fleet_store_bf16_sr")     # tests/test_lowmem.py
-    if os.environ.get("BENCH_FLEET_UPLOAD", "auto") == "u16":
+    if knobs["upload"] == "u16":
         out.append("fleet_upload_u16")        # tests/test_quantize_upload.py
     return out
 

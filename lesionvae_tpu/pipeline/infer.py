@@ -96,12 +96,18 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
     ckpt_root = cohort_dir / "checkpoints"
     if keys is None:
         keys = []
-        for d in sorted(ckpt_root.iterdir()):
-            if d.is_dir():
-                tract, tp = d.name.rsplit("_", 1)
-                keys.append((tract, tp))
+        if ckpt_root.is_dir():
+            for d in sorted(ckpt_root.iterdir()):
+                # member dirs are named <tract>_<timepoint>; anything else
+                # (temp dirs, stray files) is not a checkpoint
+                if d.is_dir() and "_" in d.name:
+                    tract, tp = d.name.rsplit("_", 1)
+                    keys.append((tract, tp))
     if not keys:
-        raise ValueError(f"no member checkpoints under {ckpt_root}")
+        raise ValueError(
+            f"no member checkpoints under {ckpt_root} — run the fleet with "
+            "checkpointing first (run_vae_cohort(save_checkpoints=True); "
+            "CLI: vae-cohort --save-checkpoints)")
 
     groups_dict = {g: list(s) for g, s in config.subjects_by_group().items()}
     members, tensors = [], []
@@ -147,17 +153,11 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
         log.warning("score_cohort: no scoreable members")
         return out
 
-    n_pad = max(x.shape[0] for x, _ in tensors)
+    # the ONE padding contract (train.batched.pad_datasets); batch_size=1
+    # pads to the max member row count exactly
+    from ..train.batched import pad_datasets
+    Xm_T, Xl_T, n_real = pad_datasets(tensors, batch_size=1)
     T = len(members)
-    L, Cm = tensors[0][0].shape[1:]
-    Cl = tensors[0][1].shape[2]
-    Xm_T = np.zeros((T, n_pad, L, Cm), np.float32)
-    Xl_T = np.zeros((T, n_pad, L, Cl), np.float32)
-    n_real = np.zeros(T, np.int32)
-    for i, (xm, xl) in enumerate(tensors):
-        Xm_T[i, :len(xm)] = xm
-        Xl_T[i, :len(xl)] = xl
-        n_real[i] = len(xm)
 
     stack = lambda xs: jax.tree.map(  # noqa: E731
         lambda *a: jnp.stack([jnp.asarray(x) for x in a]), *xs)
