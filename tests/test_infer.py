@@ -83,3 +83,23 @@ def test_score_cohort_one_program(tmp_path):
     # is at sampling-noise level, not bitwise
     np.testing.assert_allclose(merged["mean_b"], merged["mean_s"], rtol=5e-3)
     np.testing.assert_allclose(merged["max_b"], merged["max_s"], rtol=5e-3)
+
+
+def test_score_cohort_missing_checkpoints_dir(tmp_path):
+    """A cohort dir without checkpoints/ (fleet ran without
+    save_checkpoints) must raise the curated error naming the fix, not an
+    unhandled FileNotFoundError."""
+    from lesionvae_tpu.pipeline.infer import score_cohort
+
+    cohort = tmp_path / "vae_cohort"
+    cohort.mkdir()
+    cfg = tiny_config(n_per_group=1, tracts=["atr_left"])
+    with pytest.raises(ValueError, match="save_checkpoints"):
+        score_cohort(cohort, tmp_path, ["9001"], config=cfg)
+    # stray non-member dirs (no underscore / temp files) are ignored, and
+    # with nothing else present the same curated error fires
+    (cohort / "checkpoints").mkdir()
+    (cohort / "checkpoints" / "tmpdir").mkdir()
+    (cohort / "checkpoints" / "notes.txt").write_text("x")
+    with pytest.raises(ValueError, match="no member checkpoints"):
+        score_cohort(cohort, tmp_path, ["9001"], config=cfg)
