@@ -28,6 +28,11 @@ MEASURED (v5e, T=64, P=2.8M, bf16, block 256k):
     K=10  xla  6.9 ms/step 319GB/s| resident  7.8 ms/step
     K=30  xla  4.5 ms/step 485GB/s| resident  4.4 ms/step   ratio 1.0x
 
+PROBE_FASTMATH=1 (eps-inside rsqrt Adam) at K=30: xla 4.36 ms/step
+(505 GB/s), resident 3.91 ms/step — the streaming path moves ~4% (it is
+bandwidth-bound; the formula doesn't matter) and even the resident form
+only 11%, so no fast-math production knob is warranted either.
+
 CONCLUSION — residency buys ~NOTHING for the optimizer: with HBM traffic
 eliminated, Adam's own VPU math (div+sqrt-heavy, ~25 effective ops/elem)
 floors at ~4.4 ms/step — equal to the XLA streaming floor at the ~485 GB/s
@@ -75,6 +80,9 @@ BLK = int(os.environ.get("PROBE_BLK", str(256 * 1024)))
 LANES = 256          # 2-D view: (BLK // LANES, LANES) tiles cleanly for bf16
 B1, B2, LR, EPS = 0.9, 0.999, 2e-4, 1e-8
 GA, GC = 0.999, 1e-3  # synthetic grad g = GA*p + GC
+# PROBE_FASTMATH=1: eps-inside-sqrt Adam via one fused rsqrt — measures
+# whether the VPU compute floor is the divide/sqrt chain
+FASTMATH = os.environ.get("PROBE_FASTMATH", "0") == "1"
 
 
 def log(msg):
@@ -84,7 +92,10 @@ def log(msg):
 def _adam(p, m, v, g):
     m2 = B1 * m + (1 - B1) * g
     v2 = B2 * v + (1 - B2) * g * g
-    p2 = p - LR * (m2 / (jnp.sqrt(v2) + EPS))
+    if FASTMATH:
+        p2 = p - LR * m2 * jax.lax.rsqrt(v2 + EPS * EPS)
+    else:
+        p2 = p - LR * (m2 / (jnp.sqrt(v2) + EPS))
     return p2, m2, v2
 
 
