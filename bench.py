@@ -419,9 +419,11 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
 
 
 def _fleet_knobs():
-    """The fleet precision knobs, resolved ONCE: behavior (_run_pipeline)
-    and the honesty report (_approximations) read the same values, so the
-    emitted JSON cannot misstate which knobs were active."""
+    """The fleet precision knobs behind ONE accessor: behavior
+    (_run_pipeline) and the honesty report (_approximations) read the same
+    defaults, so the two cannot drift.  Each call re-reads os.environ —
+    intentional, because main()'s auto-policy resolves "auto" by mutating
+    BENCH_FLEET_UPLOAD before the pipeline runs."""
     return {"dtype": os.environ.get("BENCH_FLEET_DTYPE", "bf16"),
             "store": os.environ.get("BENCH_FLEET_STORE", "bf16"),
             "upload": os.environ.get("BENCH_FLEET_UPLOAD", "auto")}

@@ -113,7 +113,14 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
     members, tensors = [], []
     module = None
     for tract, tp in keys:
-        model, norm_stats = load_vae(ckpt_root / f"{tract}_{tp}")
+        try:
+            model, norm_stats = load_vae(ckpt_root / f"{tract}_{tp}")
+        except Exception as e:
+            # skip-and-continue doctrine (SURVEY §5.3): an interrupted save
+            # or stray underscore-named dir must not abort the whole cohort
+            log.warning("skipping %s@%s: unreadable checkpoint (%s)",
+                        tract, tp, e)
+            continue
         if norm_stats is None:
             raise ValueError(f"{tract}_{tp} checkpoint lacks norm stats")
         if module is None:

@@ -61,6 +61,10 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
     module = LesionConditionedVAE(seq_len=seq_len, micro_ch=micro_ch,
                                   lesion_ch=lesion_ch, latent=latent_dim,
                                   compute_dtype=compute_dtype)
+    if flat_opt and store_dtype is None:
+        # mirror launch_many_vaes' validation: direct _fleet_program callers
+        # (benchmarks) must not silently measure the wrong variant
+        raise ValueError("flat_opt requires store_dtype")
     if store_dtype is not None:
         # bf16-STORAGE fast path (train.lowmem): the step is HBM-bound on
         # f32 weight + Adam-moment streams (measured — see lowmem docstring);

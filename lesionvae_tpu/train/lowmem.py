@@ -88,6 +88,26 @@ def _store_round(x32: jnp.ndarray, bits, dtype) -> jnp.ndarray:
     return r.astype(jnp.bfloat16)
 
 
+def _fused_update(opt, g, p, m, v, salt, trigger, g_norm, bc1, bc2):
+    """The ONE fused clip→decay→Adam→SR body shared by the per-leaf
+    (LowmemOptimizer) and flat-buffer (FlatLowmemOptimizer) forms — the two
+    may only differ in how they reduce the grad norm and index the SR salt,
+    never in the update formula itself."""
+    g = g.astype(jnp.float32)
+    p32 = p.astype(jnp.float32)
+    g = jax.lax.select(trigger, g, (g / g_norm) * opt.clip)
+    g = g + opt.wd * p32
+    m2 = (1 - opt.b1) * g + opt.b1 * m.astype(jnp.float32)
+    v2 = (1 - opt.b2) * jnp.square(g) + opt.b2 * v.astype(jnp.float32)
+    u = -opt.lr * ((m2 / bc1) / (jnp.sqrt(v2 / bc2) + opt.eps))
+    if p.dtype == jnp.float32:
+        return p32 + u, m2, v2
+    bits = _hash_bits(p.shape, salt)
+    return (_store_round(p32 + u, bits, p.dtype),
+            _store_round(m2, bits ^ jnp.uint32(0x55555555), m.dtype),
+            _store_round(v2, bits + jnp.uint32(0x33333333), v.dtype))
+
+
 class LowmemOptimizer:
     """Fused clip→decay→Adam producing NEW PARAMS directly (the SR rounding
     of p+u must see the f32 sum, so update/apply cannot be split).
@@ -127,19 +147,8 @@ class LowmemOptimizer:
             salt = step_salt + jnp.uint32(
                 (leaf_idx[0] * 0x9E3779B1) & 0xFFFFFFFF)
             leaf_idx[0] += 1
-            g = g.astype(jnp.float32)
-            p32 = p.astype(jnp.float32)
-            g = jax.lax.select(trigger, g, (g / g_norm) * self.clip)
-            g = g + self.wd * p32
-            m2 = (1 - b1) * g + b1 * m.astype(jnp.float32)
-            v2 = (1 - b2) * jnp.square(g) + b2 * v.astype(jnp.float32)
-            u = -self.lr * ((m2 / bc1) / (jnp.sqrt(v2 / bc2) + self.eps))
-            if p.dtype == jnp.float32:
-                return p32 + u, m2, v2
-            bits = _hash_bits(p.shape, salt)
-            return (_store_round(p32 + u, bits, p.dtype),
-                    _store_round(m2, bits ^ jnp.uint32(0x55555555), m.dtype),
-                    _store_round(v2, bits + jnp.uint32(0x33333333), v.dtype))
+            return _fused_update(self, g, p, m, v, salt, trigger, g_norm,
+                                 bc1, bc2)
 
         out = jax.tree.map(leaf, grads, params, state["mu"], state["nu"])
         is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa
@@ -241,19 +250,9 @@ class FlatLowmemOptimizer:
                      + count_inc.astype(jnp.uint32) * jnp.uint32(0x01000193))
 
         def upd(g, p, m, v, salt_off):
-            g = g.astype(jnp.float32)
-            p32 = p.astype(jnp.float32)
-            g = jax.lax.select(trigger, g, (g / g_norm) * self.clip)
-            g = g + self.wd * p32
-            m2 = (1 - b1) * g + b1 * m.astype(jnp.float32)
-            v2 = (1 - b2) * jnp.square(g) + b2 * v.astype(jnp.float32)
-            u = -self.lr * ((m2 / bc1) / (jnp.sqrt(v2 / bc2) + self.eps))
-            if p.dtype == jnp.float32:
-                return p32 + u, m2, v2
-            bits = _hash_bits(p.shape, step_salt + jnp.uint32(salt_off))
-            return (_store_round(p32 + u, bits, p.dtype),
-                    _store_round(m2, bits ^ jnp.uint32(0x55555555), m.dtype),
-                    _store_round(v2, bits + jnp.uint32(0x33333333), v.dtype))
+            return _fused_update(self, g, p, m, v,
+                                 step_salt + jnp.uint32(salt_off), trigger,
+                                 g_norm, bc1, bc2)
 
         mw, mo = state["mu"]
         vw, vo = state["nu"]

@@ -103,3 +103,9 @@ def test_score_cohort_missing_checkpoints_dir(tmp_path):
     (cohort / "checkpoints" / "notes.txt").write_text("x")
     with pytest.raises(ValueError, match="no member checkpoints"):
         score_cohort(cohort, tmp_path, ["9001"], config=cfg)
+    # an underscore-named but unreadable dir (interrupted save, backup
+    # copy) is skipped with a warning, not a crash: with no scoreable
+    # member left the empty-schema frame comes back
+    (cohort / "checkpoints" / "atr_left_9d").mkdir()
+    out = score_cohort(cohort, tmp_path, ["9001"], config=cfg)
+    assert len(out) == 0 and "tract" in out.columns
