@@ -210,8 +210,11 @@ def probe_link(mb: int = 32):
 
 
 def main():
+    from lesionvae_tpu.utils.cache import CacheCounter
+
     root = Path(os.environ.get("BENCH_ROOT", "/tmp/lesionvae_bench"))
     root.mkdir(parents=True, exist_ok=True)
+    cache_counter = CacheCounter()  # before any compile
     cfg = setup_cohort(root)
     link = warmup_backend()
     log(f"[bench] devices: {jax.devices()}")
@@ -256,9 +259,33 @@ def main():
              "device_time_s": round(best_dt, 2),
              "device_time_min_s": round(min(r[3] for r in runs), 2),
              "link_h2d_mb_s": round(link[0], 1),
-             "link_d2h_mb_s": round(link[1], 1)}
+             "link_d2h_mb_s": round(link[1], 1),
+             "cache_hits": cache_counter.hits,
+             "cache_misses": cache_counter.misses}
     if cold_start is not None:
         extra["cold_start_s"] = round(cold_start, 1)
+
+    # True on-device execution time (VERDICT r3 #3): one extra untimed pass
+    # under jax.profiler.trace; the xplane device planes record per-module
+    # exec durations — a weather-independent regression signal, unlike
+    # device_time_s (host wait-windows that move with the link).
+    if os.environ.get("BENCH_DEVICE_PROFILE", "1") == "1":
+        import tempfile
+
+        from lesionvae_tpu.utils.device_trace import (device_exec_by_module,
+                                                      stage_breakdown)
+        trace_dir = tempfile.mkdtemp(prefix="bench_devtrace_")
+        log("[bench] profiled pass (untimed, for device_exec_s) ...")
+        with jax.profiler.trace(trace_dir):
+            _run_pipeline(root, cfg, warm=True)
+        per_module = device_exec_by_module(trace_dir)
+        breakdown = stage_breakdown(per_module)
+        log(f"[bench] device exec by stage: {breakdown}")
+        top = sorted(per_module.items(), key=lambda kv: -kv[1])[:8]
+        log("[bench] device exec by module: "
+            + ", ".join(f"{k}={v:.2f}s" for k, v in top))
+        extra["device_exec_s"] = breakdown.pop("total")
+        extra["device_exec"] = breakdown
     print(json.dumps(_result_json(best_total, exclusions, extra)))
 
 
@@ -356,21 +383,41 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # shift ~1e-4; parity pinned in tests/test_quantize_upload.py).
     # BENCH_FLEET_UPLOAD=f32 restores the full-precision upload.
     quant = knobs["upload"] == "u16"
-    t0 = t_fleet_launch = time.perf_counter()
-    handle = launch_many_vaes(
-        Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
-        seed=42, compute_dtype=fleet_dtype, store_dtype=store_dtype,
-        summary_spec=(sham_T, subj_T, n_subj + 1, 42),
-        normalize_on_device=True, quantize_upload=quant)
-    log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
 
-    # ---- stage 5: geometry finish (device work already done/overlapped;
-    # fetching materialized HBM buffers does not wait on the fleet) ---------
-    t0 = time.perf_counter()
-    geo_df = geo_finish()
-    t_geo_finish = time.perf_counter() - t0
+    # Stage order knob (VERDICT r3 #4): 'fleet_first' (default) enqueues the
+    # fleet program before draining the geometry fetch; 'geo_first' drains
+    # geometry D2H before the fleet's H2D upload so the two never contend
+    # for the single link.  A/B under matched weather decides the default.
+    order = os.environ.get("BENCH_ORDER", "fleet_first")
+
+    def _launch_fleet():
+        t0 = time.perf_counter()
+        handle = launch_many_vaes(
+            Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
+            seed=42, compute_dtype=fleet_dtype, store_dtype=store_dtype,
+            summary_spec=(sham_T, subj_T, n_subj + 1, 42),
+            normalize_on_device=True, quantize_upload=quant)
+        log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
+        return handle
+
+    def _finish_geometry():
+        t0 = time.perf_counter()
+        geo_df = geo_finish()
+        dt = time.perf_counter() - t0
+        log(f"[bench] geometry: {len(geo_df)} bundles in "
+            f"{t_geo_launch + dt:.2f}s total")
+        return geo_df, dt
+
+    # ---- stages 4+5: fleet launch / geometry finish, order per knob -------
+    if order == "geo_first":
+        geo_df, t_geo_finish = _finish_geometry()
+        t_fleet_launch = time.perf_counter()
+        handle = _launch_fleet()
+    else:
+        t_fleet_launch = time.perf_counter()
+        handle = _launch_fleet()
+        geo_df, t_geo_finish = _finish_geometry()
     t_geo = t_geo_launch + t_geo_finish
-    log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
 
     # ---- stage 6: collect the fleet + fused normative summary -------------
     # Training, sham statistics, and the on-device z-score reduction ran as

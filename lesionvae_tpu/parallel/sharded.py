@@ -202,7 +202,8 @@ def dryrun_shardmap_step(n_devices: int, seq_len: int = 16, micro_ch: int = 4,
 
 def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
                     seed: int = 0, batch_per_device: int = 4,
-                    fleet_rows: int = 40) -> dict:
+                    fleet_rows: int = 40,
+                    fleet_members: int | None = None) -> dict:
     """Flagship-shape, multi-step multi-chip validation (VERDICT r2 #5).
 
     Runs the REAL model dims (seq 100 / 13 micro ch / 3 lesion ch / latent
@@ -214,9 +215,10 @@ def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
        shard_map with manual psum collectives, from identical init and
        identical pre-drawn reparameterization noise — final params must
        agree (the two formulations differ only in reduction order).
-    2. A member-sharded fleet run: T = 2·n_devices flagship members x
-       ``epochs`` epochs through the fused normalize→train→summarize
-       program (train.batched) over the mesh's data axis.
+    2. A member-sharded fleet run: T = ``fleet_members`` (default
+       2·n_devices) flagship members x ``epochs`` epochs through the fused
+       normalize→train→summarize program (train.batched) over the mesh's
+       data axis.
 
     Loss parity is asserted EXACTLY on the early steps (same math under both
     collective schemes) and only boundedly at the end: reduction-order FP
@@ -315,7 +317,8 @@ def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
         max_dp = max(max_dp, d / scale)
 
     # --- path 2: member-sharded fleet at flagship dims ---------------------
-    T = 2 * n_devices
+    T = fleet_members if fleet_members is not None else 2 * n_devices
+    assert T % n_devices == 0, "fleet members must tile the device mesh"
     rng = np.random.default_rng(seed)
     tensors = [(rng.normal(size=(fleet_rows, 100, 13)).astype(np.float32),
                 rng.uniform(size=(fleet_rows, 100, 3)).astype(np.float32))

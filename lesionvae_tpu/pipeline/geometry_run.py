@@ -136,6 +136,7 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
     # upload→compute→fetch round-trip per chunk (worth ~2x on the
     # high-latency remote attachment)
     pending = []                         # (device stacked, S, bundle ids)
+    fill = {}                            # P -> [real points, padded points]
     for P, items in sorted(buckets.items()):
         for c0 in range(0, len(items), _CHUNK_S):
             chunk = items[c0:c0 + _CHUNK_S]
@@ -145,6 +146,9 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
             S_pad = _CHUNK_S if len(items) > _CHUNK_S else max(
                 _BUCKET_MIN, 1 << (S - 1).bit_length())
             S_pad = min(S_pad, _CHUNK_S)
+            f = fill.setdefault(P, [0, 0])
+            f[0] += sum(len(sl) for sl in sls)
+            f[1] += S_pad * P
             pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S),
                                         max_points=P)
             d_pts, d_lens = jnp.asarray(pts), jnp.asarray(lens)
@@ -155,6 +159,18 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
             pending.append((stacked, S,
                             np.fromiter((bi for bi, _ in chunk),
                                         np.int64, count=S), sls))
+
+    # bucket fill-factor observability (pad points are H2D bytes on a
+    # tens-of-MB/s link): aggregate + per-bucket waste, so _bucket_P tuning
+    # is driven by measurements, not guesses (VERDICT r3 #10)
+    if fill:
+        real = sum(f[0] for f in fill.values())
+        padded = sum(f[1] for f in fill.values())
+        per = ", ".join(f"P{P}:{100 * (1 - f[0] / f[1]):.0f}%"
+                        for P, f in sorted(fill.items()))
+        log.info("geometry pad waste: %.0f%% of %.1f MB uploaded "
+                 "(per-bucket: %s)", 100 * (1 - real / padded),
+                 padded * 12 / 1e6, per)
 
     def finish() -> List[Dict[str, float]]:
         vals_parts = [np.asarray(stacked)[:, :S].T

@@ -310,6 +310,15 @@ def run_lesion_analysis(config: Optional[Config] = None,
         if len(df):
             df.to_csv(output_dir / "lesion_sh_heme_comprehensive.csv",
                       index=False)
+            # console pivot-table summaries, matching the reference main's
+            # end-of-run report (lesion_sh_heme_comprehensive.py:556-571)
+            log.info("Lesion Volume by Group and Timepoint:\n%s",
+                     df.pivot_table(values="original_volume_mm3",
+                                    index="timepoint", columns="group",
+                                    aggfunc="mean"))
+            log.info("Heme Content by Group and Timepoint:\n%s",
+                     df.pivot_table(values="heme_mean", index="timepoint",
+                                    columns="group", aggfunc="mean"))
     return df
 
 

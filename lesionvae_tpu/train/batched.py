@@ -213,6 +213,9 @@ def _fleet_program(n_pad: int, seq_len: int, micro_ch: int, lesion_ch: int,
             Xm, Xl, n, k, qparams=q)
     else:
         fn = train_one
+    # stable program name so profiler traces attribute device time to the
+    # fleet stage (utils/device_trace.py stage rules)
+    fn.__name__ = "fleet_train"
     return jax.jit(jax.vmap(fn)), module, n_batches
 
 

@@ -47,14 +47,13 @@ def save_vae(path: str | Path, model: TrainedVAE,
     ckptr.wait_until_finished()
 
 
-def load_vae(path: str | Path
-             ) -> Tuple[TrainedVAE, Optional[Dict[str, np.ndarray]]]:
-    path = Path(path).resolve()
-    meta = json.loads((path / "module.json").read_text())
-    norm_spec = meta.pop("norm_stats_spec", None)
-    module = LesionConditionedVAE(**meta)
+def _make_template(meta: dict, norm_spec):
+    """Structure/dtype template for orbax restoration of one member.
 
-    # template for structure/dtype restoration
+    ``meta`` holds the module hyperparameters (module.json minus the
+    norm_stats_spec key); the template's norm_stats part is rebuilt from the
+    recorded keys/shapes/dtypes."""
+    module = LesionConditionedVAE(**meta)
     key = jax.random.PRNGKey(0)
     import jax.numpy as jnp
     variables = module.init(
@@ -65,14 +64,79 @@ def load_vae(path: str | Path
     template = {"params": variables["params"],
                 "batch_stats": variables["batch_stats"]}
     if norm_spec is not None:
-        # rebuild the norm_stats template from the recorded keys/shapes/dtypes
         template["norm_stats"] = {
             k: np.zeros(tuple(spec["shape"]), np.dtype(spec["dtype"]))
             for k, spec in norm_spec.items()}
+    return module, template
 
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path / "state", template)
+
+def _unpack(module, restored, norm_spec):
     norm = ({k: np.asarray(v) for k, v in restored["norm_stats"].items()}
             if norm_spec is not None else None)
     model = TrainedVAE(module, restored["params"], restored["batch_stats"])
     return model, norm
+
+
+def load_vae(path: str | Path
+             ) -> Tuple[TrainedVAE, Optional[Dict[str, np.ndarray]]]:
+    path = Path(path).resolve()
+    meta = json.loads((path / "module.json").read_text())
+    norm_spec = meta.pop("norm_stats_spec", None)
+    module, template = _make_template(meta, norm_spec)
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path / "state", template)
+    return _unpack(module, restored, norm_spec)
+
+
+def load_vae_many(paths, max_workers: int = 8):
+    """Restore many member checkpoints concurrently (VERDICT r3 #7).
+
+    ``load_vae`` in a loop pays one module.init (template trace) and one
+    serial orbax restore per member; at the production 64-member cohort
+    scale that serializes ~64 rounds of file IO on the host.  Here the
+    init-derived template is built ONCE per distinct architecture/spec and
+    the restores (IO-bound, GIL-releasing) run in a thread pool.
+
+    Returns a list aligned with ``paths``: ``(model, norm_stats)`` per
+    member, or the raised exception object for unreadable members (callers
+    keep their skip-and-continue semantics by checking isinstance)."""
+    import concurrent.futures as cf
+
+    paths = [Path(p).resolve() for p in paths]
+    templates = {}  # (meta items, spec json) -> (module, template)
+
+    def restore_one(path):
+        meta = json.loads((path / "module.json").read_text())
+        norm_spec = meta.pop("norm_stats_spec", None)
+        tkey = (tuple(sorted(meta.items())), json.dumps(norm_spec,
+                                                        sort_keys=True))
+        if tkey not in templates:  # pre-populated sequentially below
+            templates[tkey] = _make_template(meta, norm_spec)
+        module, template = templates[tkey]
+        restored = ocp.StandardCheckpointer().restore(path / "state",
+                                                      template)
+        return _unpack(module, restored, norm_spec)
+
+    # build the (usually one) template sequentially — module.init is a jax
+    # trace and not thread-safe to race on first touch
+    for path in paths:
+        try:
+            meta = json.loads((path / "module.json").read_text())
+            norm_spec = meta.pop("norm_stats_spec", None)
+            tkey = (tuple(sorted(meta.items())), json.dumps(norm_spec,
+                                                            sort_keys=True))
+            if tkey not in templates:
+                templates[tkey] = _make_template(meta, norm_spec)
+        except Exception:
+            pass  # surfaced as the member's exception by restore_one
+
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = [pool.submit(restore_one, p) for p in paths]
+        out = []
+        for f in futs:
+            try:
+                out.append(f.result())
+            except Exception as e:  # member-level failure, caller skips
+                out.append(e)
+    return out

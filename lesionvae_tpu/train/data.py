@@ -16,7 +16,7 @@ Ports of the reference's data stage:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -35,10 +35,16 @@ def csv_path(base_path, subject_id, tp) -> Path:
 def build_tensor_with_lesion_context(
         base_path, tract: str, tp: str, subjects: Sequence,
         micro_feats: Sequence[str], lesion_feats: Sequence[str],
-        groups_dict: Dict[str, List]) -> Tuple[np.ndarray, np.ndarray,
-                                               np.ndarray, np.ndarray,
-                                               np.ndarray]:
-    """Returns (X_micro, X_lesion, subj_ids, group_labels, s)."""
+        groups_dict: Dict[str, List],
+        csv_cache: Optional[dict] = None) -> Tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray, np.ndarray,
+                                                   np.ndarray]:
+    """Returns (X_micro, X_lesion, subj_ids, group_labels, s).
+
+    ``csv_cache``: optional dict keyed by (subject, tp) holding the full
+    profile dataframes.  Cohort-scale callers (pipeline/infer.score_cohort:
+    16 tracts share each subject CSV) pass one dict across members so every
+    CSV is read once instead of once per tract."""
     X_micro_list, X_lesion_list = [], []
     subj_stream_ids, group_stream_labels = [], []
 
@@ -48,11 +54,22 @@ def build_tensor_with_lesion_context(
     df = None
     for sid in subjects:
         fp = csv_path(base_path, sid, tp)
-        if not fp.exists():
+        ckey = (str(sid), str(tp))
+        if csv_cache is not None and ckey in csv_cache:
+            df_full = csv_cache[ckey]
+            if df_full is None:  # negative cache: file known missing
+                log.warning("missing %s", fp)
+                continue
+        elif not fp.exists():
+            if csv_cache is not None:
+                csv_cache[ckey] = None
             log.warning("missing %s", fp)
             continue
-        df = pd.read_csv(fp)
-        df = df[df["tract_id"] == tract].copy()
+        else:
+            df_full = pd.read_csv(fp)
+            if csv_cache is not None:
+                csv_cache[ckey] = df_full
+        df = df_full[df_full["tract_id"] == tract].copy()
         if df.empty:
             continue
 

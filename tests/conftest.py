@@ -26,8 +26,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the 1-core CI host pays heavy XLA compile
-# times; caching makes repeated test runs much faster.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lesionvae")
+# times; caching makes repeated test runs much faster.  Host-keyed dir:
+# XLA:CPU AOT cache entries only deserialize on a host with matching machine
+# features (utils/cache.py), so a shared dir across heterogeneous CI hosts
+# would be a silently dead cache.
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from lesionvae_tpu.utils.cache import host_keyed_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  host_keyed_cache_dir("/tmp/jax_cache_lesionvae"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
