@@ -32,6 +32,12 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_lesionvae"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the axon TPU plugin ignores the JAX_PLATFORMS env var during discovery
+# (same quirk the CLI and tests/conftest.py work around): re-apply it through
+# the config API so JAX_PLATFORMS=cpu really benches on CPU — otherwise a
+# wedged tunnel attachment hangs backend init for minutes
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 SCALE = os.environ.get("BENCH_SCALE", "full")  # full | small
 BASELINE_TARGET_S = 60.0
@@ -247,9 +253,26 @@ def main():
     # 2-5x between runs; report the best of N repeats as the steady-state
     # wall-clock
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    runs = [_run_pipeline(root, cfg, warm=False, emit=False)
-            for _ in range(repeats)]
-    best_total, best_steps, exclusions, best_dt = min(runs, key=lambda r: r[0])
+    # BENCH_ORDER=ab (VERDICT r3 #4): alternate the fleet-enqueue/geometry-
+    # fetch interleave across repeats IN ONE PROCESS, so both orders face the
+    # same link weather — the only fair way to A/B on an attachment whose
+    # throughput swings 2-5x between processes.
+    ab = os.environ.get("BENCH_ORDER", "fleet_first") == "ab"
+    orders = (["fleet_first", "geo_first"] * repeats)[:max(repeats, 2)] \
+        if ab else [None] * repeats
+    runs = []
+    for o in orders:
+        if o is not None:
+            os.environ["BENCH_ORDER"] = o
+        runs.append(_run_pipeline(root, cfg, warm=False, emit=False) + (o,))
+    if ab:
+        os.environ["BENCH_ORDER"] = "ab"
+        for o in ("fleet_first", "geo_first"):
+            sel = [r[0] for r in runs if r[4] == o]
+            log(f"[bench] order={o}: {[round(v, 1) for v in sel]} "
+                f"-> best {min(sel):.2f}s")
+    best_total, best_steps, exclusions, best_dt, _ = min(runs,
+                                                         key=lambda r: r[0])
     log(f"[bench] repeats: {[round(r[0], 1) for r in runs]} "
         f"-> best {best_total:.2f}s")
     # device_time_s belongs to the SAME run as value/vae_steps_per_s (one
@@ -265,6 +288,27 @@ def main():
     if cold_start is not None:
         extra["cold_start_s"] = round(cold_start, 1)
 
+    # Approximation-free reference pass (VERDICT r3 #6): one extra timed run
+    # with every precision knob OFF (f32 compute/storage/upload) so the cost
+    # of the bf16/u16 knobs stays auditable from the JSON alone.  Same
+    # process, same weather window as the best-of-N above.
+    if os.environ.get("BENCH_F32_PASS", "1") == "1":
+        saved = {k: os.environ.get(k) for k in
+                 ("BENCH_FLEET_DTYPE", "BENCH_FLEET_STORE",
+                  "BENCH_FLEET_UPLOAD")}
+        os.environ.update({"BENCH_FLEET_DTYPE": "f32",
+                           "BENCH_FLEET_STORE": "f32",
+                           "BENCH_FLEET_UPLOAD": "f32"})
+        log("[bench] full-precision pass (all knobs f32) ...")
+        _run_pipeline(root, cfg, warm=True)  # untimed: compiles f32 programs
+        f32_total, *_ = _run_pipeline(root, cfg, warm=False, emit=False)
+        extra["full_precision_value_s"] = round(f32_total, 3)
+        log(f"[bench] full-precision wall-clock {f32_total:.2f}s "
+            f"(vs {best_total:.2f}s with approximations)")
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else \
+                os.environ.__setitem__(k, v)
+
     # True on-device execution time (VERDICT r3 #3): one extra untimed pass
     # under jax.profiler.trace; the xplane device planes record per-module
     # exec durations — a weather-independent regression signal, unlike
@@ -276,16 +320,21 @@ def main():
                                                       stage_breakdown)
         trace_dir = tempfile.mkdtemp(prefix="bench_devtrace_")
         log("[bench] profiled pass (untimed, for device_exec_s) ...")
-        with jax.profiler.trace(trace_dir):
-            _run_pipeline(root, cfg, warm=True)
-        per_module = device_exec_by_module(trace_dir)
-        breakdown = stage_breakdown(per_module)
-        log(f"[bench] device exec by stage: {breakdown}")
-        top = sorted(per_module.items(), key=lambda kv: -kv[1])[:8]
-        log("[bench] device exec by module: "
-            + ", ".join(f"{k}={v:.2f}s" for k, v in top))
-        extra["device_exec_s"] = breakdown.pop("total")
-        extra["device_exec"] = breakdown
+        try:
+            with jax.profiler.trace(trace_dir):
+                _run_pipeline(root, cfg, warm=True)
+            per_module = device_exec_by_module(trace_dir)
+        except Exception as e:  # profiling must never kill the bench
+            log(f"[bench] device profiling unavailable: {e!r}")
+            per_module = {}
+        if per_module:
+            breakdown = stage_breakdown(per_module)
+            log(f"[bench] device exec by stage: {breakdown}")
+            top = sorted(per_module.items(), key=lambda kv: -kv[1])[:8]
+            log("[bench] device exec by module: "
+                + ", ".join(f"{k}={v:.2f}s" for k, v in top))
+            extra["device_exec_s"] = breakdown.pop("total")
+            extra["device_exec"] = breakdown
     print(json.dumps(_result_json(best_total, exclusions, extra)))
 
 
