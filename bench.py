@@ -186,11 +186,32 @@ def warmup_backend():
     """Untimed: the remote TPU backend pays a large, highly variable
     (10-300 s) one-time cost on a process's FIRST executed program; trigger it
     before the timed window.  This is connection/backing-service warmup, not
-    workload compute."""
+    workload compute.
+
+    Watchdog: a WEDGED axon attachment was observed to hang backend init for
+    >20 minutes (round 4) — a bench that hangs forever leaves the round with
+    no artifact at all.  If the first program hasn't completed within
+    BENCH_BACKEND_TIMEOUT_S (default 600 s — well past the healthy-init tail)
+    the watchdog prints a diagnostic and hard-exits 3, which the driver can
+    record.  A blocked C call can't be interrupted, hence os._exit from a
+    timer thread rather than an exception."""
+    import threading
+    timeout = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "600"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout):
+            log(f"[bench] FATAL: backend init/first program still blocked "
+                f"after {timeout:.0f}s — the device attachment is wedged; "
+                f"no timed run is possible")
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax.numpy as jnp
     t0 = time.perf_counter()
     np.asarray(jax.jit(lambda x: jnp.tanh(x @ x))(jnp.ones((512, 512),
                                                            jnp.float32)))
+    done.set()
     log(f"[setup] backend warmup in {time.perf_counter() - t0:.1f}s")
     return probe_link()
 
