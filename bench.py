@@ -236,9 +236,28 @@ def probe_link(mb: int = 32):
     return h2d, d2h
 
 
+def _arm_deadline():
+    """Whole-run insurance against a MID-run tunnel wedge: the backend
+    watchdog (warmup_backend) only covers the first program.  If the bench
+    hasn't finished within BENCH_TOTAL_DEADLINE_S (default 2700 s — far above
+    the slowest legitimate run observed, 264 s cold start + repeats), print a
+    diagnostic and hard-exit 4 so the driver records a failure, not a hang."""
+    import threading
+    deadline = float(os.environ.get("BENCH_TOTAL_DEADLINE_S", "2700"))
+
+    def _watchdog():
+        time.sleep(deadline)
+        log(f"[bench] FATAL: run exceeded {deadline:.0f}s total deadline — "
+            f"device attachment likely wedged mid-run")
+        os._exit(4)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+
 def main():
     from lesionvae_tpu.utils.cache import CacheCounter
 
+    _arm_deadline()
     root = Path(os.environ.get("BENCH_ROOT", "/tmp/lesionvae_bench"))
     root.mkdir(parents=True, exist_ok=True)
     cache_counter = CacheCounter()  # before any compile
