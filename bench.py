@@ -305,12 +305,14 @@ def main():
         if o is not None:
             os.environ["BENCH_ORDER"] = o
         runs.append(_run_pipeline(root, cfg, warm=False, emit=False) + (o,))
+    ab_fields = {}
     if ab:
         os.environ["BENCH_ORDER"] = "ab"
         for o in ("fleet_first", "geo_first"):
             sel = [r[0] for r in runs if r[4] == o]
             log(f"[bench] order={o}: {[round(v, 1) for v in sel]} "
                 f"-> best {min(sel):.2f}s")
+            ab_fields[f"order_{o}_s"] = round(min(sel), 3)
     best_total, best_steps, exclusions, best_dt, _ = min(runs,
                                                          key=lambda r: r[0])
     log(f"[bench] repeats: {[round(r[0], 1) for r in runs]} "
@@ -324,7 +326,8 @@ def main():
              "link_h2d_mb_s": round(link[0], 1),
              "link_d2h_mb_s": round(link[1], 1),
              "cache_hits": cache_counter.hits,
-             "cache_misses": cache_counter.misses}
+             "cache_misses": cache_counter.misses,
+             **ab_fields}
     if cold_start is not None:
         extra["cold_start_s"] = round(cold_start, 1)
 
