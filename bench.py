@@ -370,7 +370,12 @@ def main():
         except Exception as e:  # profiling must never kill the bench
             log(f"[bench] device profiling unavailable: {e!r}")
             per_module = {}
-        if per_module:
+        if not per_module:
+            # verified: CPU traces carry only /host planes, so the field is
+            # absent (not zero) on non-TPU runs — say so instead of silence
+            log("[bench] device profiling: no device planes in trace "
+                "(CPU backend or empty trace); device_exec_s omitted")
+        else:
             breakdown = stage_breakdown(per_module)
             log(f"[bench] device exec by stage: {breakdown}")
             top = sorted(per_module.items(), key=lambda kv: -kv[1])[:8]

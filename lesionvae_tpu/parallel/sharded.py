@@ -203,7 +203,8 @@ def dryrun_shardmap_step(n_devices: int, seq_len: int = 16, micro_ch: int = 4,
 def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
                     seed: int = 0, batch_per_device: int = 4,
                     fleet_rows: int = 40,
-                    fleet_members: int | None = None) -> dict:
+                    fleet_members: int | None = None,
+                    verbose: bool = False) -> dict:
     """Flagship-shape, multi-step multi-chip validation (VERDICT r2 #5).
 
     Runs the REAL model dims (seq 100 / 13 micro ch / 3 lesion ch / latent
@@ -225,9 +226,23 @@ def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
     noise amplifies ~2x/step through Adam's normalized updates (measured),
     which is an optimizer property, not a sharding defect.
 
+    ``verbose``: print a timed line after each phase (GSPMD steps,
+    shard_map steps, fleet) — the driver dryrun runs this under a hard
+    wall-clock budget, and streamed phase lines preserve partial evidence
+    when the budget SIGKILLs the run mid-compile.
+
     Returns a summary dict (also asserted internally)."""
+    import time as _time
+
     from ..train.batched import launch_many_vaes, pad_datasets
     from .mesh import make_mesh
+
+    t_start = _time.perf_counter()
+
+    def _phase(msg):
+        if verbose:
+            print(f"FLAGSHIP phase: {msg} (t+{_time.perf_counter() - t_start:.0f}s)",
+                  flush=True)
 
     kw = dict(seq_len=100, micro_ch=13, lesion_ch=3, latent=10)
     batch = batch_per_device * n_devices
@@ -281,6 +296,8 @@ def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
             p_g, s_g, o_g, xm_d, xl_d, mask_d,
             jax.device_put(eps_all[i], data_sh), betas[i])
         losses_g.append(float(loss_g))
+    _phase(f"GSPMD dp={n_devices}: {steps} steps done, "
+           f"loss={losses_g[-1]:.4f}")
 
     # --- path 1b: explicit shard_map with manual collectives ---------------
     sm_step, _ = build_shardmap_train_step(kw, tx, mesh)
@@ -291,6 +308,8 @@ def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
         p_s, s_s, o_s, loss_s, _, _ = sm_step(
             p_s, s_s, o_s, xm, xl, mask, eps_all[i], betas[i])
         losses_s.append(float(loss_s))
+    _phase(f"shard_map dp={n_devices}: {steps} steps done, "
+           f"loss={losses_s[-1]:.4f}")
 
     # Same math, different reduction order: the paths are bit-comparable for
     # the first several steps, then FP noise amplifies ~2x/step through
@@ -337,6 +356,8 @@ def dryrun_flagship(n_devices: int, steps: int = 10, epochs: int = 2,
         f"flagship fleet history bad: shape {hist.shape}")
     mag_T = np.asarray(h.summary_T[2])
     assert mag_T.shape[0] == T and np.isfinite(mag_T).all()
+    _phase(f"fleet x{T}: {epochs} epochs done, "
+           f"mean_loss={float(hist[:, -1, 0].mean()):.4f}")
 
     return {"dims": kw, "steps": steps, "batch": batch,
             "gspmd_loss": losses_g[-1], "shardmap_loss": losses_s[-1],
