@@ -325,8 +325,10 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         mesh's ``data`` axis ("fleet parallelism": each device trains its
         own slice of independent VAEs, zero collectives, scaling the cohort
         linearly with chips; T must divide the data-axis size).  This is
-        the cohort's natural multi-chip axis — members are independent
-        models, so XLA partitions the whole program without communication
+        the cohort's natural multi-chip axis.  Implementation is shard_map,
+        NOT GSPMD: letting the partitioner infer shardings for this program
+        was measured to insert 228 all-gathers (replicated epoch
+        permutation + batch gathers on every device) — see _fleet_program
         (SURVEY.md §5.7/§5.8).
     """
     T, n_pad, seq_len, micro_ch = Xm.shape
