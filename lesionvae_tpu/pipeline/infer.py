@@ -70,7 +70,8 @@ def load_normative(npz_path: str | Path) -> Dict[str, np.ndarray]:
 def score_cohort(cohort_dir: str | Path, base_path: str | Path,
                  subjects: Sequence, config: Optional[Config] = None,
                  keys: Optional[Sequence] = None, seed: int = 0,
-                 output_dir: str | Path | None = None) -> pd.DataFrame:
+                 output_dir: str | Path | None = None,
+                 mesh=None) -> pd.DataFrame:
     """Score a whole cohort of checkpointed members as ONE device program.
 
     Mirrors the fleet trainer's design for serving (SURVEY.md §5.7: batch
@@ -87,6 +88,12 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
     Returns one summary row per (tract, timepoint, subject): mean/std/max/
     count of per-streamline z magnitudes; also writes ``cohort_scores.csv``
     when ``output_dir`` is given.
+
+    ``mesh``: optional jax.sharding.Mesh — shard the member axis over the
+    mesh's ``data`` axis via shard_map (members are independent, so the
+    partitioned program has zero collectives; same design as the fleet
+    trainer, train/batched._fleet_program).  Falls back to single-device
+    when T doesn't tile the axis.
     """
     import jax
     import jax.numpy as jnp
@@ -198,10 +205,30 @@ def score_cohort(cohort_dir: str | Path, base_path: str | Path,
         z = z_residual(Xz, xh, nm, ns)
         return jnp.sqrt(jnp.mean(z ** 2, axis=(1, 2)))
 
-    mags = np.asarray(jax.jit(jax.vmap(score_one))(
-        params_T, stats_T, med_T, mean_T, std_T, nm_T, ns_T,
-        jnp.asarray(Xm_T), jnp.asarray(Xl_T),
-        jax.random.split(jax.random.PRNGKey(seed), T)))
+    score_one.__name__ = "score_fleet"  # trace attribution (device_trace)
+    mapped = jax.vmap(score_one)
+    args = (params_T, stats_T, med_T, mean_T, std_T, nm_T, ns_T,
+            jnp.asarray(Xm_T), jnp.asarray(Xl_T),
+            jax.random.split(jax.random.PRNGKey(seed), T))
+    if mesh is not None and T % mesh.shape["data"] == 0:
+        import functools as _ft
+
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+        try:
+            from jax import shard_map as _sm
+            _smap = _ft.partial(_sm, check_vma=False)
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map as _sm
+            _smap = _ft.partial(_sm, check_rep=False)
+        mapped = _smap(mapped, mesh=mesh, in_specs=PSpec("data"),
+                       out_specs=PSpec("data"))
+        member_sh = NamedSharding(mesh, PSpec("data"))
+        args = tuple(jax.device_put(a, member_sh) for a in args)
+    elif mesh is not None:
+        log.warning("score_cohort: %d members don't tile the mesh's data "
+                    "axis (%d); scoring single-device", T,
+                    mesh.shape["data"])
+    mags = np.asarray(jax.jit(mapped)(*args))
 
     rows = []
     for i, m in enumerate(members):

@@ -84,6 +84,28 @@ def test_score_cohort_one_program(tmp_path):
     np.testing.assert_allclose(merged["mean_b"], merged["mean_s"], rtol=5e-3)
     np.testing.assert_allclose(merged["max_b"], merged["max_s"], rtol=5e-3)
 
+    # member-sharded serving (shard_map over the mesh's data axis) must
+    # reproduce the single-device program EXACTLY — same per-member math,
+    # just placed on different devices
+    from lesionvae_tpu.parallel.mesh import make_mesh
+
+    sharded = score_cohort(root / "results" / "vae_cohort", root, subjects,
+                           config=cfg, seed=3,
+                           mesh=make_mesh(2, model_parallel=1))
+    on = ["tract", "timepoint", "subject_id", "group"]
+    m2 = out.merge(sharded, on=on, suffixes=("_1", "_n"))
+    assert len(m2) == len(out)
+    np.testing.assert_allclose(m2["mean_n"], m2["mean_1"], rtol=1e-6)
+    np.testing.assert_allclose(m2["max_n"], m2["max_1"], rtol=1e-6)
+
+    # a fleet that doesn't tile the mesh falls back to single-device with a
+    # warning, not an error
+    fallback = score_cohort(root / "results" / "vae_cohort", root, subjects,
+                            config=cfg, seed=3,
+                            mesh=make_mesh(8, model_parallel=1))
+    m3 = out.merge(fallback, on=on, suffixes=("_1", "_f"))
+    np.testing.assert_allclose(m3["mean_f"], m3["mean_1"], rtol=1e-6)
+
 
 def test_score_cohort_missing_checkpoints_dir(tmp_path):
     """A cohort dir without checkpoints/ (fleet ran without
