@@ -481,11 +481,13 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # BENCH_FLEET_UPLOAD=f32 restores the full-precision upload.
     quant = knobs["upload"] == "u16"
 
-    # Stage order knob (VERDICT r3 #4): 'fleet_first' (default) enqueues the
-    # fleet program before draining the geometry fetch; 'geo_first' drains
+    # Stage order knob (VERDICT r3 #4): 'geo_first' (default) drains the
     # geometry D2H before the fleet's H2D upload so the two never contend
-    # for the single link.  A/B under matched weather decides the default.
-    order = os.environ.get("BENCH_ORDER", "fleet_first")
+    # for the single link; 'fleet_first' enqueues the fleet program before
+    # draining geometry.  Decided by a matched-weather A/B (BENCH_ORDER=ab,
+    # round 4, 16 MB/s link): geo_first 27.6 s vs fleet_first 32.1 s best —
+    # the geometry fetch was queueing behind the fleet's ~70 MB u16 upload.
+    order = os.environ.get("BENCH_ORDER", "geo_first")
 
     def _launch_fleet():
         t0 = time.perf_counter()
