@@ -298,7 +298,8 @@ def main():
     # same link weather — the only fair way to A/B on an attachment whose
     # throughput swings 2-5x between processes.
     ab = os.environ.get("BENCH_ORDER", "fleet_first") == "ab"
-    orders = (["fleet_first", "geo_first"] * repeats)[:max(repeats, 2)] \
+    _AB_ORDERS = ["overlap", "geo_first", "fleet_first"]
+    orders = (_AB_ORDERS * repeats)[:max(repeats, len(_AB_ORDERS))] \
         if ab else [None] * repeats
     runs = []
     for o in orders:
@@ -308,7 +309,7 @@ def main():
     ab_fields = {}
     if ab:
         os.environ["BENCH_ORDER"] = "ab"
-        for o in ("fleet_first", "geo_first"):
+        for o in _AB_ORDERS:
             sel = [r[0] for r in runs if r[4] == o]
             log(f"[bench] order={o}: {[round(v, 1) for v in sel]} "
                 f"-> best {min(sel):.2f}s")
@@ -481,13 +482,16 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # BENCH_FLEET_UPLOAD=f32 restores the full-precision upload.
     quant = knobs["upload"] == "u16"
 
-    # Stage order knob (VERDICT r3 #4): 'geo_first' (default) drains the
-    # geometry D2H before the fleet's H2D upload so the two never contend
-    # for the single link; 'fleet_first' enqueues the fleet program before
-    # draining geometry.  Decided by a matched-weather A/B (BENCH_ORDER=ab,
-    # round 4, 16 MB/s link): geo_first 27.6 s vs fleet_first 32.1 s best —
-    # the geometry fetch was queueing behind the fleet's ~70 MB u16 upload.
-    order = os.environ.get("BENCH_ORDER", "geo_first")
+    # Stage order knob (VERDICT r3 #4): 'overlap' (default) drains the
+    # geometry D2H (small), enqueues the fleet's large H2D behind it, and
+    # runs geometry's host tail (f64 refine, groupby, CSV) while the upload
+    # streams; 'geo_first' finishes geometry entirely before the fleet;
+    # 'fleet_first' enqueues the fleet before touching geometry.  Decided by
+    # matched-weather A/Bs (BENCH_ORDER=ab, round 4): geo_first 27.6 s vs
+    # fleet_first 32.1 s at a 16 MB/s link (the geometry fetch queued behind
+    # the fleet upload), then overlap 41.3 s vs geo_first 46.4 s in the same
+    # cycle of a slower day — the host tail hides under the upload.
+    order = os.environ.get("BENCH_ORDER", "overlap")
 
     def _launch_fleet():
         t0 = time.perf_counter()
@@ -508,7 +512,20 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
         return geo_df, dt
 
     # ---- stages 4+5: fleet launch / geometry finish, order per knob -------
-    if order == "geo_first":
+    if order == "overlap":
+        # drain geometry's SMALL D2H (stacked metrics, ~18 MB) first, put
+        # the fleet's large H2D behind it on the link, then run geometry's
+        # host tail (f64 refine, groupby, CSV writes, ~2-3 s of 1-core CPU)
+        # WHILE the upload streams — the tail is pure host work the link
+        # doesn't need.
+        t0 = time.perf_counter()
+        geo_finish.drain()
+        t_drain = time.perf_counter() - t0
+        t_fleet_launch = time.perf_counter()
+        handle = _launch_fleet()
+        geo_df, t_geo_finish = _finish_geometry()
+        t_geo_finish += t_drain
+    elif order == "geo_first":
         geo_df, t_geo_finish = _finish_geometry()
         t_fleet_launch = time.perf_counter()
         handle = _launch_fleet()
