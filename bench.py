@@ -266,12 +266,17 @@ def main():
     log(f"[bench] devices: {jax.devices()}")
 
     # u16 upload auto-policy: quantizing the fleet upload halves its bytes
-    # but costs a 2-7 s host pass under transfer contention; measured A/B
-    # (BENCH logs r3): u16 wins when the link is slow (geo-finish 4-5 s vs
-    # 8-17 s at 15-20 MB/s), f32 wins on fast links (enqueue ~0.2 s vs
-    # 2-7 s at >35 MB/s).  'auto' picks by the probed H2D bandwidth.
+    # (393 -> 197 MB) for a 0.3 s (idle) - 3.4 s (tunnel-contended) host
+    # pass.  The r3 threshold (f32 above 30 MB/s) came from fleet_first-era
+    # runs where the quantize sat inside the timed enqueue window; under
+    # the round-4 'overlap' order a matched-weather A/B at a 31.9 MB/s link
+    # (benchmarks/upload_ab_probe.py, both knobs alternated IN ONE process)
+    # measured u16 winning BOTH cycles: 32.4 vs 38.4 s and 35.9 vs 74.3 s.
+    # Break-even is ~196 MB / 3.4 s ~= 58 MB/s even at the worst observed
+    # quantize cost, so 'auto' picks u16 for any link below 60 MB/s (every
+    # link ever probed on this attachment: 7-41 MB/s).
     if _fleet_knobs()["upload"] == "auto":
-        choice = "u16" if link[0] < 30.0 else "f32"
+        choice = "u16" if link[0] < 60.0 else "f32"
         os.environ["BENCH_FLEET_UPLOAD"] = choice
         log(f"[setup] fleet upload auto-policy: {choice} "
             f"(H2D {link[0]:.1f} MB/s)")
