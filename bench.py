@@ -498,13 +498,22 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # cycle of a slower day — the host tail hides under the upload.
     order = os.environ.get("BENCH_ORDER", "overlap")
 
+    # member-chunked launch (train.batched upload_chunks): the attachment
+    # streams H2D while programs execute (benchmarks/h2d_exec_overlap_probe
+    # .py), so chunk N+1's upload + host quantize hides under chunk N's
+    # exec — the fleet's ~7.5 s device exec comes off the critical path.
+    # Results are member-identical to the single launch (one compile, keys
+    # sliced, per-member quantization ranges; tests/test_upload_chunks.py).
+    chunks = int(os.environ.get("BENCH_FLEET_CHUNKS", "1"))
+
     def _launch_fleet():
         t0 = time.perf_counter()
         handle = launch_many_vaes(
             Xm, Xl, n_real, latent_dim=10, epochs=epochs, batch_size=64,
             seed=42, compute_dtype=fleet_dtype, store_dtype=store_dtype,
             summary_spec=(sham_T, subj_T, n_subj + 1, 42),
-            normalize_on_device=True, quantize_upload=quant)
+            normalize_on_device=True, quantize_upload=quant,
+            upload_chunks=chunks)
         log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
         return handle
 

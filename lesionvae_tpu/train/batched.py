@@ -299,7 +299,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      normalize_on_device: bool = False,
                      mesh=None, store_dtype=None,
                      quantize_upload: bool = False,
-                     flat_opt: bool = False) -> FleetHandle:
+                     flat_opt: bool = False,
+                     upload_chunks: int = 1) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -321,6 +322,17 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         (measured: the fused Adam pass alone is 9.3 of 16.6 ms/fleet-step
         in f32); bf16 storage halves them.  Opt-in; distributional parity
         vs the f32 trainer pinned in tests/test_lowmem.py.
+      upload_chunks: split the launch into this many member-axis chunks,
+        each its own H2D + program dispatch (single-chip only).  The axon
+        attachment streams H2D bytes WHILE a program executes (measured:
+        benchmarks/h2d_exec_overlap_probe.py — a 134 MB transfer completed
+        in wire time during a 1 s burn, not wire+exec), so chunk N+1's
+        upload (and its host-side quantize) hides under chunk N's
+        execution: the fleet's device exec (~7.5 s on v5e) comes off the
+        critical path.  All chunks share ONE compiled program (equal
+        shapes); per-member results are bitwise independent of chunking
+        (keys are split once then sliced; quantization ranges are
+        per-member), pinned by tests/test_upload_chunks.py.
       mesh: optional jax.sharding.Mesh — shard the MEMBER axis T over the
         mesh's ``data`` axis ("fleet parallelism": each device trains its
         own slice of independent VAEs, zero collectives, scaling the cohort
@@ -354,57 +366,98 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         int(norm_seed), bool(normalize_on_device), store_dtype,
         bool(quantize_upload), bool(flat_opt), mesh=mesh)
 
+    if upload_chunks < 1:
+        raise ValueError("upload_chunks must be >= 1")
+    if upload_chunks > 1:
+        if mesh is not None:
+            raise ValueError(
+                "upload_chunks is a single-chip link-pipelining knob; a "
+                "mesh fleet already splits the member axis across devices")
+        if T % upload_chunks != 0:
+            raise ValueError(f"fleet size {T} not divisible by "
+                             f"upload_chunks ({upload_chunks})")
+
     keys = jax.random.split(jax.random.PRNGKey(seed), T)
-    qargs = ()
-    if quantize_upload:
-        # uint16 fixed-point codes: HALF the f32 bytes on the H2D link (the
-        # bench bottleneck, 7-40 MB/s measured); decoded on device with
-        # per-(member, feature) affine params (train.quantize)
-        import time as _time
-        from .quantize import quantize_u16
-        _t0 = _time.perf_counter()
-        cm, lo_m, sc_m = quantize_u16(Xm)
-        cl, lo_l, sc_l = quantize_u16(Xl)
-        _tq = _time.perf_counter() - _t0
-        Xm_j = jnp.asarray(cm)
-        Xl_j = jnp.asarray(cl)
-        qargs = (jnp.asarray(lo_m), jnp.asarray(sc_m),
-                 jnp.asarray(lo_l), jnp.asarray(sc_l))
-        log.info("u16 upload: quantized %.0f MB in %.2fs (-> %.0f MB on "
-                 "the wire)", (Xm.nbytes + Xl.nbytes) / 1e6, _tq,
-                 (cm.nbytes + cl.nbytes) / 1e6)
-    elif normalize_on_device:
-        # keep non-finite values: the in-program normalization must see them
-        # to median-impute exactly like the reference (normalization.py:54)
-        # (dataset stays f32: bf16 row-gathers lower very poorly on TPU,
-        # measured 2x slower; the model casts after the batch gather)
-        Xm_j = jnp.asarray(Xm, jnp.float32)
-        Xl_j = jnp.asarray(Xl, jnp.float32)
-    else:
-        Xm_j = jnp.nan_to_num(jnp.asarray(Xm, jnp.float32), nan=0.0)
-        Xl_j = jnp.nan_to_num(jnp.asarray(Xl, jnp.float32), nan=0.0)
-    n_j = jnp.asarray(n_real, jnp.int32)
+    member_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
         member_sh = NamedSharding(mesh, PSpec("data"))
-        Xm_j = jax.device_put(Xm_j, member_sh)
-        Xl_j = jax.device_put(Xl_j, member_sh)
-        n_j = jax.device_put(n_j, member_sh)
-        keys = jax.device_put(keys, member_sh)
 
-    # async: the jit call enqueues the whole fleet program and returns device
-    # futures — callers can overlap host work before fetching
-    if mesh is not None and qargs:
-        qargs = tuple(jax.device_put(q, member_sh) for q in qargs)
-    if summary_spec is not None:
-        sham_j = jnp.asarray(sham_T, jnp.float32)
-        subj_j = jnp.asarray(subj_idx_T, jnp.int32)
-        if mesh is not None:
-            sham_j = jax.device_put(sham_j, member_sh)
-            subj_j = jax.device_put(subj_j, member_sh)
-        out = program(Xm_j, Xl_j, n_j, keys, sham_j, subj_j, *qargs)
+    def _put(x):
+        return x if member_sh is None else jax.device_put(x, member_sh)
+
+    _q_log = [0.0, 0.0, 0.0]  # MB quantized, seconds, MB on the wire
+
+    def _launch_chunk(sl):
+        """Stage one member-axis slice and enqueue its program (async: the
+        jit call returns device futures, so with upload_chunks > 1 chunk
+        N+1's host quantize + H2D streams while chunk N executes — the
+        attachment overlaps transfers with execution, measured in
+        benchmarks/h2d_exec_overlap_probe.py)."""
+        qargs = ()
+        if quantize_upload:
+            # uint16 fixed-point codes: HALF the f32 bytes on the H2D link
+            # (the bench bottleneck, 7-40 MB/s measured); decoded on device
+            # with per-(member, feature) affine params (train.quantize —
+            # ranges are per-member, so per-chunk encoding is bit-identical
+            # to whole-fleet encoding)
+            import time as _time
+            from .quantize import quantize_u16
+            _t0 = _time.perf_counter()
+            cm, lo_m, sc_m = quantize_u16(Xm[sl])
+            cl, lo_l, sc_l = quantize_u16(Xl[sl])
+            _q_log[1] += _time.perf_counter() - _t0
+            _q_log[0] += (Xm[sl].nbytes + Xl[sl].nbytes) / 1e6
+            _q_log[2] += (cm.nbytes + cl.nbytes) / 1e6
+            Xm_j = _put(jnp.asarray(cm))
+            Xl_j = _put(jnp.asarray(cl))
+            qargs = tuple(_put(jnp.asarray(q))
+                          for q in (lo_m, sc_m, lo_l, sc_l))
+        elif normalize_on_device:
+            # keep non-finite values: the in-program normalization must see
+            # them to median-impute exactly like the reference
+            # (normalization.py:54) (dataset stays f32: bf16 row-gathers
+            # lower very poorly on TPU, measured 2x slower; the model casts
+            # after the batch gather)
+            Xm_j = _put(jnp.asarray(Xm[sl], jnp.float32))
+            Xl_j = _put(jnp.asarray(Xl[sl], jnp.float32))
+        else:
+            Xm_j = _put(jnp.nan_to_num(jnp.asarray(Xm[sl], jnp.float32),
+                                       nan=0.0))
+            Xl_j = _put(jnp.nan_to_num(jnp.asarray(Xl[sl], jnp.float32),
+                                       nan=0.0))
+        n_j = _put(jnp.asarray(n_real[sl], jnp.int32))
+        k_j = _put(keys[sl])
+        if summary_spec is not None:
+            sham_j = _put(jnp.asarray(sham_T[sl], jnp.float32))
+            subj_j = _put(jnp.asarray(subj_idx_T[sl], jnp.int32))
+            return program(Xm_j, Xl_j, n_j, k_j, sham_j, subj_j,
+                           *qargs), (Xm_j, Xl_j)
+        return program(Xm_j, Xl_j, n_j, k_j, *qargs), (Xm_j, Xl_j)
+
+    if upload_chunks == 1:
+        out, (Xm_j, Xl_j) = _launch_chunk(slice(None))
     else:
-        out = program(Xm_j, Xl_j, n_j, keys, *qargs)
+        Tc = T // upload_chunks
+        pairs = [_launch_chunk(slice(j * Tc, (j + 1) * Tc))
+                 for j in range(upload_chunks)]
+        # every output leaf is member-leading; one device-side concat
+        # re-stacks the fleet (HBM copy, ~ms — the chunks' programs have
+        # already been enqueued by the loop above)
+        out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                           *[p[0] for p in pairs])
+        # normalize_on_device replaces these with the programs' normalized
+        # outputs below; otherwise re-stack the uploaded blocks so
+        # handle.Xm_j/Xl_j keep their device-resident-dataset contract
+        if normalize_on_device:
+            Xm_j = Xl_j = None
+        else:
+            Xm_j, Xl_j = (jnp.concatenate([p[1][i] for p in pairs], axis=0)
+                          for i in range(2))
+    if quantize_upload:
+        log.info("u16 upload: quantized %.0f MB in %.2fs (-> %.0f MB on "
+                 "the wire%s)", _q_log[0], _q_log[1], _q_log[2],
+                 ", %d chunks" % upload_chunks if upload_chunks > 1 else "")
     params_T, stats_T, hist_T = out[:3]
     summ = out[3] if summary_spec is not None else None
     norm_stats_T = None
