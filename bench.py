@@ -504,7 +504,12 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     # exec — the fleet's ~7.5 s device exec comes off the critical path.
     # Results are member-identical to the single launch (one compile, keys
     # sliced, per-member quantization ranges; tests/test_upload_chunks.py).
-    chunks = int(os.environ.get("BENCH_FLEET_CHUNKS", "1"))
+    # Default "auto" (largest divisor of T <= 8): the matched-weather A/B
+    # (benchmarks/chunks_ab_probe.py, 34 MB/s link) measured bench wall
+    # 31.96 / 24.16 / 19.83 s for chunks 1 / 4 / 8 — fleet-collect drops
+    # 16.1 -> 5.9 s.  BENCH_FLEET_CHUNKS=<int> overrides.
+    chunks = _fleet_knobs()["chunks"]
+    chunks = chunks if chunks == "auto" else int(chunks)
 
     def _launch_fleet():
         t0 = time.perf_counter()
@@ -603,7 +608,8 @@ def _fleet_knobs():
     BENCH_FLEET_UPLOAD before the pipeline runs."""
     return {"dtype": os.environ.get("BENCH_FLEET_DTYPE", "bf16"),
             "store": os.environ.get("BENCH_FLEET_STORE", "bf16"),
-            "upload": os.environ.get("BENCH_FLEET_UPLOAD", "auto")}
+            "upload": os.environ.get("BENCH_FLEET_UPLOAD", "auto"),
+            "chunks": os.environ.get("BENCH_FLEET_CHUNKS", "auto")}
 
 
 def _approximations():
@@ -630,6 +636,9 @@ def _result_json(total, exclusions, extra=None):
     approx = _approximations()
     if approx:
         out["approximations"] = approx
+    # not an approximation (member math is chunk-independent) — recorded so
+    # the pipelining config behind the number is auditable from the JSON
+    out["fleet_chunks"] = _fleet_knobs()["chunks"]
     if exclusions:
         out["exclusions"] = exclusions
     if extra:

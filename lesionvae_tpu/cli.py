@@ -98,6 +98,11 @@ def main(argv=None) -> int:
     p.add_argument("--quantize-upload", action="store_true",
                    help="upload raw tensors as uint16 fixed-point codes "
                         "(halves H2D bytes; train.quantize, parity-pinned)")
+    p.add_argument("--upload-chunks", default="1",
+                   help="member-axis launch chunks: each chunk's H2D "
+                        "pipelines under the previous chunk's execution "
+                        "('auto' = largest divisor of the fleet size <= 8; "
+                        "train.batched, parity-pinned)")
     p.add_argument("--save-z", action="store_true",
                    help="also fetch + store the full per-streamline z-score "
                         "block per member (large D2H; default keeps z on "
@@ -212,6 +217,9 @@ def main(argv=None) -> int:
                            store_dtype=(jnp.bfloat16 if args.store == "bf16"
                                         else None),
                            quantize_upload=args.quantize_upload,
+                           upload_chunks=(args.upload_chunks
+                                          if args.upload_chunks == "auto"
+                                          else int(args.upload_chunks)),
                            save_checkpoints=args.save_checkpoints)
 
         elif args.stage == "classify":

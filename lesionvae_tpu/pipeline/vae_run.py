@@ -158,6 +158,7 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                    seed: int = 42, save_z: bool = False,
                    compute_dtype=None, store_dtype=None,
                    quantize_upload: bool = False,
+                   upload_chunks: "int | str" = 1,
                    save_checkpoints: bool = False) -> Dict[tuple, dict]:
     """Train the whole (tract x timepoint) VAE fleet CONCURRENTLY (one
     vmapped device program, train.batched) and compute normative z-scores
@@ -177,7 +178,10 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
     ``store_dtype=jnp.bfloat16`` — bf16 weight/moment storage with
     stochastic rounding, 1.33x per step (train.lowmem, test_lowmem);
     ``quantize_upload=True`` — uint16 fixed-point raw-tensor upload, halves
-    the H2D bytes (train.quantize, test_quantize_upload).
+    the H2D bytes (train.quantize, test_quantize_upload);
+    ``upload_chunks="auto"`` — member-chunked launch that pipelines each
+    chunk's H2D upload under the previous chunk's execution
+    (train.batched, test_upload_chunks).
 
     Returns {(tract, timepoint): {"model", "history", "magnitude",
     "subj_profiles", "subj_ids", "group_labels"[, "Z"]}}.
@@ -239,7 +243,8 @@ def run_vae_cohort(tracts: Sequence[str], latent_dim: int = 10,
                                                 seed),
                                   normalize_on_device=True,
                                   store_dtype=store_dtype,
-                                  quantize_upload=quantize_upload)
+                                  quantize_upload=quantize_upload,
+                                  upload_chunks=upload_chunks)
         models, hist = handle.fetch()
 
     with stage("vae_cohort.normative"):

@@ -300,7 +300,7 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      mesh=None, store_dtype=None,
                      quantize_upload: bool = False,
                      flat_opt: bool = False,
-                     upload_chunks: int = 1) -> FleetHandle:
+                     upload_chunks: "int | str" = 1) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -332,7 +332,11 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         critical path.  All chunks share ONE compiled program (equal
         shapes); per-member results are bitwise independent of chunking
         (keys are split once then sliced; quantization ranges are
-        per-member), pinned by tests/test_upload_chunks.py.
+        per-member), pinned by tests/test_upload_chunks.py.  ``"auto"``
+        picks the largest divisor of T that is <= 8 (1 when a mesh is
+        given) — 8 chunks measured best on the matched-weather A/B
+        (benchmarks/chunks_ab_probe.py: 31.96 / 24.16 / 19.83 s bench wall
+        for 1 / 4 / 8 chunks at a 34 MB/s link).
       mesh: optional jax.sharding.Mesh — shard the MEMBER axis T over the
         mesh's ``data`` axis ("fleet parallelism": each device trains its
         own slice of independent VAEs, zero collectives, scaling the cohort
@@ -366,8 +370,11 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         int(norm_seed), bool(normalize_on_device), store_dtype,
         bool(quantize_upload), bool(flat_opt), mesh=mesh)
 
-    if upload_chunks < 1:
-        raise ValueError("upload_chunks must be >= 1")
+    if upload_chunks == "auto":
+        upload_chunks = 1 if mesh is not None else max(
+            k for k in range(1, 9) if T % k == 0)
+    if not isinstance(upload_chunks, int) or upload_chunks < 1:
+        raise ValueError("upload_chunks must be >= 1 or 'auto'")
     if upload_chunks > 1:
         if mesh is not None:
             raise ValueError(

@@ -91,6 +91,19 @@ def test_chunk_validation():
                          batch_size=16, upload_chunks=0)
 
 
+def test_chunks_auto():
+    """'auto' = largest divisor of T <= 8: T=6 -> 3 chunks of 2 members;
+    results must match the explicit single launch."""
+    Xm, Xl, n_real = _cohort(T=6)
+    n_real = np.array([32, 27, 30, 32, 31, 32], np.int32)
+    h1 = launch_many_vaes(Xm, Xl, n_real, latent_dim=2, epochs=1,
+                          batch_size=16, seed=5, upload_chunks=1)
+    h2 = launch_many_vaes(Xm, Xl, n_real, latent_dim=2, epochs=1,
+                          batch_size=16, seed=5, upload_chunks="auto")
+    np.testing.assert_allclose(np.asarray(h1.hist_T), np.asarray(h2.hist_T),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_chunks_reject_mesh():
     import jax
     from jax.sharding import Mesh
