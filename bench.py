@@ -69,117 +69,176 @@ def setup_cohort(root: Path):
     return cfg
 
 
-def fast_profile_tensors(root: Path, cfg):
-    """Read each per-subject profile CSV once; slice tensors per tract.
+def _profile_parsers(micro, lesion):
+    """Resolve the fastest available profile-CSV parser chain.
 
-    Equivalent to build_tensor_with_lesion_context for complete, sorted
-    synthetic CSVs, but one read per (subject, timepoint) instead of one
-    pivot per (tract, subject, timepoint).  Returns
-    ``[(key, X_micro, X_lesion, sham_rows), ...]``."""
-    import pandas as pd
-
-    micro = list(cfg.microstructure_features)
-    lesion = list(cfg.lesion_features)
-    tracts = list(cfg.geometry_tracts)
-    groups = cfg.subjects_by_group()
-
+    Returns ``(use_native, pacsv, conv)`` consumed by _parse_profile_file:
+    native C parser ~450 MB/s, pyarrow ~180, pandas fallback slowest
+    (all three produce identical tensors — tests/test_bench_fast_path.py).
+    """
     from lesionvae_tpu.io import profiles_native
-    use_native = profiles_native.available()  # ~450 MB/s vs pyarrow ~180
+    use_native = profiles_native.available()
 
     try:
         import pyarrow as pa
         from pyarrow import csv as pacsv
         # parse only the needed 17 of 20 columns, numerics directly as
         # float32 (pyarrow defaults to float64 + a cast later)
-        _conv = pacsv.ConvertOptions(
+        conv = pacsv.ConvertOptions(
             include_columns=["tract_id"] + micro + lesion,
             include_missing_columns=True,
             column_types={c: pa.float32() for c in micro + lesion})
     except ImportError:
-        pacsv = None
+        pacsv = conv = None
+    return use_native, pacsv, conv
 
-    subj_of = {}  # subject id -> dense index (for on-device aggregation)
+
+def _parse_profile_file(fp, micro, lesion, use_native, pacsv, conv):
+    """One profile CSV -> (M, Lm, run_bounds): float32 column matrices for
+    the micro/lesion features plus the tract-contiguous row runs.  Missing
+    lesion columns (Sham subjects) impute the reference constants
+    (data_loader.py:79-88); Lm[:, 2] is the clipped lesion_distance
+    (data_loader.py:117)."""
+    from lesionvae_tpu.io import profiles_native
+
+    if use_native:
+        vals, starts, names, present = \
+            profiles_native.read_profile_columns(fp, micro + lesion)
+        M = vals[:, :len(micro)]
+        Lm = vals[:, len(micro):]
+        for j, c in enumerate(lesion):
+            if not present[len(micro) + j]:
+                Lm[:, j] = 15.0 if c == "lesion_distance" else 0.0
+        run_bounds = list(zip(
+            starts, np.append(starts[1:], len(vals)), names))
+    elif pacsv is not None:
+        tbl = pacsv.read_csv(fp, convert_options=conv)
+        cols = {c: tbl.column(c) for c in tbl.column_names}
+        tract_codes = np.asarray(cols["tract_id"].dictionary_encode()
+                                 .combine_chunks().indices)
+        tract_names = (cols["tract_id"].dictionary_encode()
+                       .combine_chunks().dictionary.to_pylist())
+        M = np.empty((len(tract_codes), len(micro)), np.float32)
+        for j, c in enumerate(micro):
+            M[:, j] = np.asarray(cols[c], np.float32)
+        Lm = np.empty((len(tract_codes), len(lesion)), np.float32)
+        for j, c in enumerate(lesion):
+            col = cols.get(c)
+            # include_missing_columns yields all-null columns for
+            # features absent from the file (Sham subjects)
+            if col is not None and col.null_count < len(col):
+                Lm[:, j] = np.asarray(col, np.float32)
+            else:
+                Lm[:, j] = 15.0 if c == "lesion_distance" else 0.0
+    else:
+        import pandas as pd
+        df = pd.read_csv(fp)
+        for lf in lesion:
+            if lf not in df.columns:
+                df[lf] = 15.0 if lf == "lesion_distance" else 0.0
+        codes, uniq = pd.factorize(df["tract_id"])
+        tract_codes, tract_names = codes, list(uniq)
+        M = df[micro].to_numpy(np.float32)
+        Lm = df[lesion].to_numpy(np.float32)
+    if not use_native:
+        change = np.flatnonzero(np.diff(tract_codes)) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(tract_codes)]])
+        run_bounds = [(s, e, tract_names[tract_codes[s]])
+                      for s, e in zip(starts, ends)]
+    Lm[:, 2] = np.clip(Lm[:, 2], 0, 15) / 15.0
+    return M, Lm, run_bounds
+
+
+def _profile_file(root, sid, tp):
+    return (root / "results" / sid / f"timepoint_analysis_{sid}_{tp}"
+            / f"comprehensive_tract_data_{sid}_{tp}.csv")
+
+
+def _subject_index(cfg):
+    """Dense subject id -> index map, in groups -> subject order (the same
+    order both pipeline modes assign, so on-device aggregation segments
+    agree)."""
+    subj_of = {}
+    for g, sids in cfg.subjects_by_group().items():
+        for sid in sids:
+            subj_of.setdefault(sid, len(subj_of))
+    return subj_of
+
+
+def _accumulate_runs(tensors, tracts, M, Lm, run_bounds, is_sham, si, tp):
+    for s, e, tract in run_bounds:
+        if tract not in tracts:
+            continue
+        n_sl = (e - s) // 100
+        if n_sl == 0:
+            continue
+        xm_l, xl_l, sham_l, subj_l = tensors[(tract, tp)]
+        xm_l.append(M[s:s + n_sl * 100].reshape(n_sl, 100, -1))
+        xl_l.append(Lm[s:s + n_sl * 100].reshape(n_sl, 100, -1))
+        sham_l.append(np.full(n_sl, is_sham, bool))
+        subj_l.append(np.full(n_sl, si, np.int32))
+
+
+def _stack_members(tensors):
+    return [(key, np.concatenate(xm), np.concatenate(xl),
+             np.concatenate(sh), np.concatenate(su))
+            for key, (xm, xl, sh, su) in tensors.items() if xm]
+
+
+def fast_profile_tensors(root: Path, cfg):
+    """Read each per-subject profile CSV once; slice tensors per tract.
+
+    Equivalent to build_tensor_with_lesion_context for complete, sorted
+    synthetic CSVs, but one read per (subject, timepoint) instead of one
+    pivot per (tract, subject, timepoint).  Returns
+    ``([(key, X_micro, X_lesion, sham_rows, subj_rows), ...], n_subj)``."""
+    micro = list(cfg.microstructure_features)
+    lesion = list(cfg.lesion_features)
+    tracts = list(cfg.geometry_tracts)
+    parsers = _profile_parsers(micro, lesion)
+
+    subj_of = _subject_index(cfg)
     tensors = {(t, tp): ([], [], [], []) for t in tracts
                for tp in cfg.timepoints}
-    for g, sids in groups.items():
+    for g, sids in cfg.subjects_by_group().items():
         for sid in sids:
-            si = subj_of.setdefault(sid, len(subj_of))
             for tp in cfg.timepoints:
-                fp = (root / "results" / sid / f"timepoint_analysis_{sid}_{tp}"
-                      / f"comprehensive_tract_data_{sid}_{tp}.csv")
+                fp = _profile_file(root, sid, tp)
                 if not fp.exists():
                     continue
-                # one read per file into a numpy column matrix + tract run
-                # boundaries (profile rows are tract-contiguous).  Native
-                # parser ~450 MB/s; pyarrow ~180; pandas fallback slowest.
-                if use_native:
-                    vals, starts, names, present = \
-                        profiles_native.read_profile_columns(
-                            fp, micro + lesion)
-                    M = vals[:, :len(micro)]
-                    Lm = vals[:, len(micro):]
-                    for j, c in enumerate(lesion):
-                        if not present[len(micro) + j]:
-                            Lm[:, j] = (15.0 if c == "lesion_distance"
-                                        else 0.0)
-                    run_bounds = list(zip(
-                        starts, np.append(starts[1:], len(vals)), names))
-                elif pacsv is not None:
-                    tbl = pacsv.read_csv(fp, convert_options=_conv)
-                    cols = {c: tbl.column(c) for c in tbl.column_names}
-                    tract_codes = np.asarray(cols["tract_id"].dictionary_encode()
-                                             .combine_chunks().indices)
-                    tract_names = (cols["tract_id"].dictionary_encode()
-                                   .combine_chunks().dictionary.to_pylist())
-                    M = np.empty((len(tract_codes), len(micro)), np.float32)
-                    for j, c in enumerate(micro):
-                        M[:, j] = np.asarray(cols[c], np.float32)
-                    Lm = np.empty((len(tract_codes), len(lesion)), np.float32)
-                    for j, c in enumerate(lesion):
-                        col = cols.get(c)
-                        # include_missing_columns yields all-null columns
-                        # for features absent from the file (Sham subjects)
-                        if col is not None and col.null_count < len(col):
-                            Lm[:, j] = np.asarray(col, np.float32)
-                        else:
-                            Lm[:, j] = 15.0 if c == "lesion_distance" else 0.0
-                else:
-                    df = pd.read_csv(fp)
-                    for lf in lesion:
-                        if lf not in df.columns:
-                            df[lf] = (15.0 if lf == "lesion_distance" else 0.0)
-                    codes, uniq = pd.factorize(df["tract_id"])
-                    tract_codes, tract_names = codes, list(uniq)
-                    M = df[micro].to_numpy(np.float32)
-                    Lm = df[lesion].to_numpy(np.float32)
-                if not use_native:
-                    change = np.flatnonzero(np.diff(tract_codes)) + 1
-                    starts = np.concatenate([[0], change])
-                    ends = np.concatenate([change, [len(tract_codes)]])
-                    run_bounds = [(s, e, tract_names[tract_codes[s]])
-                                  for s, e in zip(starts, ends)]
-                Lm[:, 2] = np.clip(Lm[:, 2], 0, 15) / 15.0
+                M, Lm, runs = _parse_profile_file(fp, micro, lesion, *parsers)
+                _accumulate_runs(tensors, tracts, M, Lm, runs,
+                                 g == "Sham", subj_of[sid], tp)
+    return _stack_members(tensors), len(subj_of)
 
-                for s, e, tract in run_bounds:
-                    if tract not in tracts:
-                        continue
-                    n_sl = (e - s) // 100
-                    if n_sl == 0:
-                        continue
-                    xm = M[s:s + n_sl * 100].reshape(n_sl, 100, -1)
-                    xl = Lm[s:s + n_sl * 100].reshape(n_sl, 100, -1)
-                    xm_l, xl_l, sham_l, subj_l = tensors[(tract, tp)]
-                    xm_l.append(xm)
-                    xl_l.append(xl)
-                    sham_l.append(np.full(n_sl, g == "Sham", bool))
-                    subj_l.append(np.full(n_sl, si, np.int32))
-    out = []
-    for key, (xm_list, xl_list, sham_list, subj_list) in tensors.items():
-        if xm_list:
-            out.append((key, np.concatenate(xm_list), np.concatenate(xl_list),
-                        np.concatenate(sham_list),
-                        np.concatenate(subj_list)))
-    return out, len(subj_of)
+
+def stream_profile_blocks(root: Path, cfg):
+    """Timepoint-major variant of fast_profile_tensors: yields
+    ``(tp, members)`` as soon as ALL subjects' files for that timepoint are
+    parsed, so the caller can launch that block's fleet members while later
+    timepoints are still being read (bench streaming pipeline — the host
+    CSV parse and the fleet H2D upload share the wall-clock instead of
+    serializing).  Member tuples and subject indices match
+    fast_profile_tensors exactly; only the grouping differs."""
+    micro = list(cfg.microstructure_features)
+    lesion = list(cfg.lesion_features)
+    tracts = list(cfg.geometry_tracts)
+    parsers = _profile_parsers(micro, lesion)
+    subj_of = _subject_index(cfg)
+
+    for tp in cfg.timepoints:
+        tensors = {(t, tp): ([], [], [], []) for t in tracts}
+        for g, sids in cfg.subjects_by_group().items():
+            for sid in sids:
+                fp = _profile_file(root, sid, tp)
+                if not fp.exists():
+                    continue
+                M, Lm, runs = _parse_profile_file(fp, micro, lesion, *parsers)
+                _accumulate_runs(tensors, tracts, M, Lm, runs,
+                                 g == "Sham", subj_of[sid], tp)
+        yield tp, _stack_members(tensors)
+
 
 
 def warmup_backend():
@@ -393,6 +452,8 @@ def main():
 
 
 def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
+    if os.environ.get("BENCH_PIPE", "batch") == "stream":
+        return _run_pipeline_stream(root, cfg, warm, emit)
 
     from lesionvae_tpu.pipeline.geometry_run import launch_geometry
     from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
@@ -600,6 +661,159 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     return total, steps / fleet_wall, exclusions, device_time
 
 
+def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
+    """Streaming pipeline (BENCH_PIPE=stream): the host CSV parse and the
+    fleet H2D upload share the wall-clock instead of serializing.
+
+    The batch pipeline parses ALL profile CSVs (~7-9 s of 1-core host work)
+    before the first fleet byte reaches the link; here each timepoint's 16
+    members launch as soon as that timepoint's files are parsed, so block
+    N+1's parse runs while block N's u16 upload streams (the attachment
+    overlaps H2D with execution — benchmarks/h2d_exec_overlap_probe.py).
+    Stage order:
+      1. geometry read + device launch (its H2D leads the link queue)
+      2. lesion SH (small programs, FIFO ahead of the fleet blocks)
+      3. per timepoint: parse -> pad -> launch (upload_chunks subdivides
+         within a block); geometry's small D2H drains after block 1
+      4. geometry host tail (f64 refine, groupby, CSV) under the last
+         blocks' uploads; then collect every block
+    Per-member training is key-identical to ONE logical fleet: every member
+    takes its key from the canonical tract-major (tract x timepoint) grid
+    via member_keys, so results do not depend on block boundaries
+    (tests/test_upload_chunks.py pins the split-launch contract).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lesionvae_tpu.pipeline.geometry_run import launch_geometry
+    from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
+    from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
+
+    out_dir = root / "bench_results"
+    epochs = 40 if SCALE == "full" else 5
+    exclusions = []
+    t_start = time.perf_counter()
+
+    t0 = time.perf_counter()
+    geo_finish = launch_geometry(cfg, data_dir=root / "data",
+                                 output_dir=out_dir / "geometry",
+                                 max_streamlines=100)
+    t_geo_launch = time.perf_counter() - t0
+    log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
+
+    t0 = time.perf_counter()
+    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
+                                 output_dir=out_dir / "lesion",
+                                 max_l=6, num_samples=2000, seed=0)
+    t_sh = time.perf_counter() - t0
+    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
+
+    knobs = _fleet_knobs()
+    fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[knobs["dtype"]]
+    store_dtype = {"f32": None, "bf16": jnp.bfloat16}[knobs["store"]]
+    quant = knobs["upload"] == "u16"
+    chunks = knobs["chunks"]
+    chunks = chunks if chunks == "auto" else int(chunks)
+
+    tracts = list(cfg.geometry_tracts)
+    tps = list(cfg.timepoints)
+    # canonical per-member keys: one grid split regardless of blocking
+    grid_keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
+                                            len(tracts) * len(tps)))
+    subj_of = _subject_index(cfg)
+    n_subj = len(subj_of)
+
+    t_stream0 = time.perf_counter()
+    blocks = []  # (tp, handle, n_real_b, T_b)
+    n_pad0 = 0
+    t_drain = 0.0
+    for bi, (tp, members) in enumerate(stream_profile_blocks(root, cfg)):
+        if not members:
+            continue
+        Xm_b, Xl_b, n_real_b = pad_datasets(
+            [(xm, xl) for _, xm, xl, _, _ in members], batch_size=64,
+            min_rows=n_pad0)
+        if n_pad0 == 0:
+            n_pad0 = Xm_b.shape[1]
+        elif Xm_b.shape[1] != n_pad0:
+            log(f"[bench] stream: block {tp} rows {Xm_b.shape[1]} != "
+                f"{n_pad0} (extra program shape)")
+        sham_b = np.zeros(Xm_b.shape[:2], np.float32)
+        subj_b = np.full(Xm_b.shape[:2], n_subj, np.int32)  # pad segment
+        for i, (_, _, _, sham_rows, subj_rows) in enumerate(members):
+            sham_b[i, :len(sham_rows)] = sham_rows
+            subj_b[i, :len(subj_rows)] = subj_rows
+        tpi = tps.index(tp)
+        keys_b = np.stack([grid_keys[tracts.index(k[0]) * len(tps) + tpi]
+                           for k, *_ in members])
+        T_b = len(members)
+        bchunks = chunks if chunks == "auto" else max(
+            g for g in range(1, chunks + 1) if T_b % g == 0)
+        handle = launch_many_vaes(
+            Xm_b, Xl_b, n_real_b, latent_dim=10, epochs=epochs,
+            batch_size=64, seed=42, compute_dtype=fleet_dtype,
+            store_dtype=store_dtype,
+            summary_spec=(sham_b, subj_b, n_subj + 1, 42),
+            normalize_on_device=True, quantize_upload=quant,
+            upload_chunks=bchunks, member_keys=keys_b)
+        blocks.append((tp, handle, n_real_b, T_b))
+        log(f"[bench] stream: block {tp} ({T_b} members) launched at "
+            f"+{time.perf_counter() - t_stream0:.2f}s")
+        if bi == 0:
+            # geometry's ~18 MB D2H: its programs led the link queue, so
+            # the results are ready right after its upload tail — fetch
+            # them now, before the remaining blocks' H2D monopolizes the
+            # link (measured in the batch A/B: a fetch queued behind the
+            # full fleet upload cost ~4.5 s)
+            t0 = time.perf_counter()
+            geo_finish.drain()
+            t_drain = time.perf_counter() - t0
+    t_build = time.perf_counter() - t_stream0  # parse+launch, interleaved
+
+    # geometry host tail (f64 refine, groupby, CSV writes) — pure host work
+    # that runs while the last blocks' uploads stream / programs execute
+    t0 = time.perf_counter()
+    geo_df = geo_finish()
+    t_geo_finish = time.perf_counter() - t0 + t_drain
+    t_geo = t_geo_launch + t_geo_finish
+    log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
+
+    # collect every block (oldest first — FIFO matches execution order)
+    t0 = time.perf_counter()
+    T = sum(b[3] for b in blocks)
+    hists, mags = [], []
+    for tp, handle, n_real_b, T_b in blocks:
+        hist_b = np.asarray(handle.hist_T)
+        assert hist_b.shape[0] == T_b and hist_b.shape[1] == epochs
+        hists.append(hist_b)
+        _m, _s, mag_b, prof_b, _cnt = [np.asarray(x)
+                                       for x in handle.summary_T]
+        assert prof_b.shape[0] == T_b and np.isfinite(mag_b).all()
+        mags.append(mag_b)
+    hist = np.concatenate(hists)
+    t_vae = time.perf_counter() - t0
+    log(f"[bench]   fleet collect (all {len(blocks)} blocks) {t_vae:.2f}s")
+    steps = epochs * (n_pad0 // 64) * T
+    fleet_wall = time.perf_counter() - t_stream0
+    log(f"[bench] VAE fleet: {T} VAEs x {epochs} epochs "
+        f"({steps} steps) collected in {t_vae:.2f}s; "
+        f"aggregate {steps / fleet_wall:.0f} steps/s over the "
+        f"launch→collect window (BASELINE.md 'VAE steps/sec')")
+
+    total = time.perf_counter() - t_start
+    tag = "warmup" if warm else "TOTAL"
+    log(f"[bench] {tag} {total:.2f}s  (build+launch {t_build:.1f} | geo "
+        f"{t_geo:.1f} | sh {t_sh:.1f} | fleet-collect {t_vae:.1f}; "
+        f"target {BASELINE_TARGET_S}s) [stream]")
+    device_time = t_geo_finish + t_vae + t_sh
+    log(f"[bench] {tag} device-side time {device_time:.2f}s "
+        f"(geo-finish {t_geo_finish:.1f} + fleet {t_vae:.1f} + sh {t_sh:.1f})")
+
+    if emit:
+        print(json.dumps(_result_json(total, exclusions)))
+    return total, steps / fleet_wall, exclusions, device_time
+
+
 def _fleet_knobs():
     """The fleet precision knobs behind ONE accessor: behavior
     (_run_pipeline) and the honesty report (_approximations) read the same
@@ -636,9 +850,10 @@ def _result_json(total, exclusions, extra=None):
     approx = _approximations()
     if approx:
         out["approximations"] = approx
-    # not an approximation (member math is chunk-independent) — recorded so
-    # the pipelining config behind the number is auditable from the JSON
+    # not approximations (member math is chunk/block-independent) — recorded
+    # so the pipelining config behind the number is auditable from the JSON
     out["fleet_chunks"] = _fleet_knobs()["chunks"]
+    out["pipeline"] = os.environ.get("BENCH_PIPE", "batch")
     if exclusions:
         out["exclusions"] = exclusions
     if extra:

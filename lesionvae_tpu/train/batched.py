@@ -300,7 +300,8 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
                      mesh=None, store_dtype=None,
                      quantize_upload: bool = False,
                      flat_opt: bool = False,
-                     upload_chunks: "int | str" = 1) -> FleetHandle:
+                     upload_chunks: "int | str" = 1,
+                     member_keys=None) -> FleetHandle:
     """Enqueue training of T VAEs concurrently; returns a FleetHandle.
 
     Args:
@@ -337,6 +338,13 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         given) — 8 chunks measured best on the matched-weather A/B
         (benchmarks/chunks_ab_probe.py: 31.96 / 24.16 / 19.83 s bench wall
         for 1 / 4 / 8 chunks at a 34 MB/s link).
+      member_keys: optional (T, 2) uint32 PRNG keys, one per member,
+        overriding the default ``split(PRNGKey(seed), T)`` derivation.
+        Lets a caller launch one logical fleet as several separate
+        launches (e.g. one per timepoint block, as each block's tensors
+        finish building) with per-member training bit-identical to the
+        single launch: pass the canonical fleet's key slice for each
+        block (bench.py streaming pipeline).
       mesh: optional jax.sharding.Mesh — shard the MEMBER axis T over the
         mesh's ``data`` axis ("fleet parallelism": each device trains its
         own slice of independent VAEs, zero collectives, scaling the cohort
@@ -384,7 +392,13 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
             raise ValueError(f"fleet size {T} not divisible by "
                              f"upload_chunks ({upload_chunks})")
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), T)
+    if member_keys is not None:
+        keys = np.asarray(member_keys)
+        if keys.shape[0] != T:
+            raise ValueError(f"member_keys has {keys.shape[0]} rows for a "
+                             f"{T}-member fleet")
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(seed), T)
     member_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
@@ -481,10 +495,15 @@ def train_many_vaes(Xm, Xl, n_real, **kwargs):
     return launch_many_vaes(Xm, Xl, n_real, **kwargs)()
 
 
-def pad_datasets(tensors, batch_size: int = 64
+def pad_datasets(tensors, batch_size: int = 64, min_rows: int = 0
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Stack a list of (Xm_i, Xl_i) pairs into common-shape padded blocks."""
-    n_max = max(x.shape[0] for x, _ in tensors)
+    """Stack a list of (Xm_i, Xl_i) pairs into common-shape padded blocks.
+
+    ``min_rows``: pad the row axis to at least this many rows — callers
+    splitting one logical fleet into several launches (bench.py streaming
+    pipeline) pass the first block's row count so every block shares the
+    one compiled program shape."""
+    n_max = max(max(x.shape[0] for x, _ in tensors), min_rows)
     n_pad = -(-n_max // batch_size) * batch_size
     L, Cm = tensors[0][0].shape[1:]
     Cl = tensors[0][1].shape[2]

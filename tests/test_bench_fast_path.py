@@ -113,3 +113,24 @@ def test_fast_profile_tensors_fallback_paths(cohort, monkeypatch):
             # cached tensor blocks are interchangeable across readers
             np.testing.assert_array_equal(y, x)
             np.testing.assert_array_equal(z, x)
+
+
+def test_stream_blocks_match_batch(cohort):
+    """The streaming pipeline's timepoint-major generator must produce the
+    SAME member tensors as the batch builder (bench BENCH_PIPE=stream) —
+    only the grouping differs."""
+    import bench
+
+    root, cfg = cohort
+    batch_list, n_subj = bench.fast_profile_tensors(root, cfg)
+    by_key = {k: rest for k, *rest in batch_list}
+
+    seen = []
+    for tp, members in bench.stream_profile_blocks(root, cfg):
+        for k, *rest in members:
+            assert k[1] == tp
+            seen.append(k)
+            for x, y in zip(rest, by_key[k]):
+                np.testing.assert_array_equal(x, y)
+    assert sorted(seen) == sorted(by_key)
+    assert len(bench._subject_index(cfg)) == n_subj

@@ -104,6 +104,31 @@ def test_chunks_auto():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_member_keys_split_launch():
+    """One logical fleet launched as two key-sliced blocks reproduces the
+    single launch member for member (the streaming bench pipeline's
+    contract: block k passes the canonical fleet's key slice)."""
+    import jax
+
+    Xm, Xl, n_real = _cohort(T=4)
+    h_full = launch_many_vaes(Xm, Xl, n_real, latent_dim=2, epochs=2,
+                              batch_size=16, seed=9,
+                              normalize_on_device=True)
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    parts = [launch_many_vaes(Xm[sl], Xl[sl], n_real[sl], latent_dim=2,
+                              epochs=2, batch_size=16, seed=123,  # ignored
+                              normalize_on_device=True,
+                              member_keys=np.asarray(keys)[sl])
+             for sl in (slice(0, 2), slice(2, 4))]
+    hist_full = np.asarray(h_full.hist_T)
+    hist_parts = np.concatenate([np.asarray(p.hist_T) for p in parts])
+    np.testing.assert_allclose(hist_full, hist_parts, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="member_keys"):
+        launch_many_vaes(Xm, Xl, n_real, latent_dim=2, epochs=1,
+                         batch_size=16, member_keys=np.asarray(keys)[:2])
+
+
 def test_chunks_reject_mesh():
     import jax
     from jax.sharding import Mesh
