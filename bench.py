@@ -452,7 +452,11 @@ def main():
 
 
 def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
-    if os.environ.get("BENCH_PIPE", "batch") == "stream":
+    # default per the matched-weather A/B (benchmarks/pipe_ab_probe.py):
+    # stream won every cycle — 16.9/19.5, 18.3/19.2, 21.8/24.9 s at a
+    # 19.6 MB/s link (and 3/3 cycles of an earlier, noisier session).
+    # BENCH_PIPE=batch restores the parse-everything-then-launch pipeline.
+    if os.environ.get("BENCH_PIPE", "stream") == "stream":
         return _run_pipeline_stream(root, cfg, warm, emit)
 
     from lesionvae_tpu.pipeline.geometry_run import launch_geometry
@@ -672,11 +676,17 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
     overlaps H2D with execution — benchmarks/h2d_exec_overlap_probe.py).
     Stage order:
       1. geometry read + device launch (its H2D leads the link queue)
-      2. lesion SH (small programs, FIFO ahead of the fleet blocks)
-      3. per timepoint: parse -> pad -> launch (upload_chunks subdivides
+      2. per timepoint: parse -> pad -> launch (upload_chunks subdivides
          within a block); geometry's small D2H drains after block 1
-      4. geometry host tail (f64 refine, groupby, CSV) under the last
-         blocks' uploads; then collect every block
+      3. geometry host tail (f64 refine, groupby, CSV) under the last
+         blocks' uploads
+      4. lesion SH: its host part (NIfTI reads) also runs under the
+         uploads, and its tiny device programs queue behind the fleet
+         blocks — the wait merges with the fleet-collect wait that
+         follows anyway.  (Running SH FIRST was measured to cost 3.3-3.6 s
+         vs the batch pipeline's 0.9 s: its small programs stalled behind
+         the still-streaming 141 MB geometry upload.)
+      5. collect every block
     Per-member training is key-identical to ONE logical fleet: every member
     takes its key from the canonical tract-major (tract x timepoint) grid
     via member_keys, so results do not depend on block boundaries
@@ -700,13 +710,6 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
                                  max_streamlines=100)
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
-
-    t0 = time.perf_counter()
-    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
-                                 output_dir=out_dir / "lesion",
-                                 max_l=6, num_samples=2000, seed=0)
-    t_sh = time.perf_counter() - t0
-    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
 
     knobs = _fleet_knobs()
     fleet_dtype = {"f32": None, "bf16": jnp.bfloat16}[knobs["dtype"]]
@@ -777,6 +780,13 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
     t_geo_finish = time.perf_counter() - t0 + t_drain
     t_geo = t_geo_launch + t_geo_finish
     log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
+
+    t0 = time.perf_counter()
+    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
+                                 output_dir=out_dir / "lesion",
+                                 max_l=6, num_samples=2000, seed=0)
+    t_sh = time.perf_counter() - t0
+    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
 
     # collect every block (oldest first — FIFO matches execution order)
     t0 = time.perf_counter()
@@ -853,7 +863,7 @@ def _result_json(total, exclusions, extra=None):
     # not approximations (member math is chunk/block-independent) — recorded
     # so the pipelining config behind the number is auditable from the JSON
     out["fleet_chunks"] = _fleet_knobs()["chunks"]
-    out["pipeline"] = os.environ.get("BENCH_PIPE", "batch")
+    out["pipeline"] = os.environ.get("BENCH_PIPE", "stream")
     if exclusions:
         out["exclusions"] = exclusions
     if extra:
