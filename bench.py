@@ -475,7 +475,8 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     t0 = time.perf_counter()
     geo_finish = launch_geometry(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "geometry",
-                                 max_streamlines=100)
+                                 max_streamlines=100,
+                                 upload=_fleet_knobs()["geo"])
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
 
@@ -707,7 +708,8 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
     t0 = time.perf_counter()
     geo_finish = launch_geometry(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "geometry",
-                                 max_streamlines=100)
+                                 max_streamlines=100,
+                                 upload=_fleet_knobs()["geo"])
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
 
@@ -833,7 +835,8 @@ def _fleet_knobs():
     return {"dtype": os.environ.get("BENCH_FLEET_DTYPE", "bf16"),
             "store": os.environ.get("BENCH_FLEET_STORE", "bf16"),
             "upload": os.environ.get("BENCH_FLEET_UPLOAD", "auto"),
-            "chunks": os.environ.get("BENCH_FLEET_CHUNKS", "auto")}
+            "chunks": os.environ.get("BENCH_FLEET_CHUNKS", "auto"),
+            "geo": os.environ.get("BENCH_GEO_UPLOAD", "f32")}
 
 
 def _approximations():
@@ -847,6 +850,8 @@ def _approximations():
         out.append("fleet_store_bf16_sr")     # tests/test_lowmem.py
     if knobs["upload"] == "u16":
         out.append("fleet_upload_u16")        # tests/test_quantize_upload.py
+    if knobs["geo"] == "u16d":
+        out.append("geometry_upload_u16_delta")  # tests/test_geo_codec.py
     return out
 
 

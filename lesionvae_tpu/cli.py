@@ -64,6 +64,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("geometry", help="tract geometry metrics")
     _add_common(p)
     p.add_argument("--max-streamlines", type=int, default=100)
+    p.add_argument("--upload", choices=["f32", "u16d"], default="f32",
+                   help="point upload codec: u16d ships u16 delta codes "
+                        "(0.55x bytes; torsion recomputed exactly on the "
+                        "host; ops.geo_codec, parity-pinned)")
 
     p = sub.add_parser("lesion", help="lesion SH + heme analysis")
     _add_common(p)
@@ -181,7 +185,8 @@ def main(argv=None) -> int:
             from .pipeline.geometry_run import run_geometry
             run_geometry(config, data_dir,
                          out_root / "comprehensive_tract_geometry",
-                         max_streamlines=args.max_streamlines)
+                         max_streamlines=args.max_streamlines,
+                         upload=args.upload)
 
         elif args.stage == "lesion":
             from .pipeline.lesion_run import (run_lesion_analysis,

@@ -354,6 +354,25 @@ def streamline_metrics_stacked(points: jnp.ndarray, lengths: jnp.ndarray,
     return jnp.stack([m[k].astype(dtype) for k in STACKED_NAMES])
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def streamline_metrics_stacked_u16(codes: jnp.ndarray, p0: jnp.ndarray,
+                                   lo: jnp.ndarray, sc: jnp.ndarray,
+                                   lengths: jnp.ndarray,
+                                   dtype=jnp.float32) -> jnp.ndarray:
+    """streamline_metrics_stacked over u16-delta-coded points: the decode
+    (ops.geo_codec — affine dequant + cumsum) fuses into the same program,
+    so only 0.55x the f32 bytes cross the H2D link.  The torsion row of the
+    result is REPLACED host-side by the pipeline (geo_codec.torsion_f64):
+    tau's conditioning cannot absorb the decode noise (measured p99 4.9e-3
+    vs f32's 2.7e-6, benchmarks/geo_codec_probe.py); every other metric's
+    decoded shift is p99 <= 3e-4 and the eigen inf-gate certificate is
+    unaffected (same 78 flagged rows on the probe cohort)."""
+    from .geo_codec import decode_points
+    x = decode_points(codes, p0, lo, sc, lengths)
+    m = streamline_metrics(x, lengths, dtype=dtype)
+    return jnp.stack([m[k].astype(dtype) for k in STACKED_NAMES])
+
+
 def unstack_metrics(stacked: np.ndarray) -> Dict[str, np.ndarray]:
     out = {k: np.asarray(stacked[i]) for i, k in enumerate(STACKED_NAMES)}
     out["valid"] = out["valid"] > 0.5

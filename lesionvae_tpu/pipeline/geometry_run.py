@@ -103,7 +103,8 @@ def compute_streamline_metrics(vtk_path: str | Path,
 # Batched cohort execution
 # ----------------------------------------------------------------------------
 def launch_bundle_metrics(bundles: List[List[np.ndarray]],
-                          dtype=jnp.float32, mesh=None):
+                          dtype=jnp.float32, mesh=None,
+                          upload: str = "f32"):
     """Enqueue the fused per-bucket device dispatches for many bundles and
     return a zero-argument ``finish()`` callable producing the bundle
     summaries.
@@ -114,15 +115,28 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
     other host work (e.g. the VAE tensor build) between launch and finish —
     on the remote-attached chip this hides the geometry device time entirely.
 
+    ``upload``: ``"f32"`` ships the padded point blocks as-is; ``"u16d"``
+    ships u16 delta codes (0.55x the bytes — the stage is wire-bound on the
+    remote attachment) decoded inside the device program, with torsion
+    recomputed host-side in reference-exact f64 from the original points
+    (ops.geo_codec — tau cannot absorb the decode noise; every other
+    metric's decoded shift is p99 <= 3e-4, pinned in tests/test_geo_codec
+    .py).
+
     ``mesh``: optional jax.sharding.Mesh — each chunk's streamline axis is
     sharded over the ``data`` axis (the cohort's scaling axis, SURVEY.md §5.7);
     the kernel is embarrassingly parallel so XLA needs no collectives.
     """
+    if upload not in ("f32", "u16d"):
+        raise ValueError(f"unknown geometry upload codec: {upload!r}")
     data_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
         data_sh = NamedSharding(mesh, PSpec("data"))
-    from ..ops.geometry import BUNDLE_SUMMARY, STACKED_NAMES
+    from ..ops.geometry import (BUNDLE_SUMMARY, STACKED_NAMES,
+                                streamline_metrics_stacked_u16)
+    if upload == "u16d":
+        from ..ops.geo_codec import encode_u16_delta, torsion_f64
 
     # (bundle_idx, streamline) pool per P-bucket
     buckets: Dict[int, List[Tuple[int, np.ndarray]]] = {}
@@ -157,14 +171,30 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
             f[1] += S_pad * P
             pts, lens = pad_streamlines(sls + [sls[-1]] * (S_pad - S),
                                         max_points=P)
-            d_pts, d_lens = jnp.asarray(pts), jnp.asarray(lens)
+            d_lens = jnp.asarray(lens)
             if data_sh is not None:
-                d_pts = jax.device_put(d_pts, data_sh)
                 d_lens = jax.device_put(d_lens, data_sh)
-            stacked = streamline_metrics_stacked(d_pts, d_lens, dtype=dtype)
+            if upload == "u16d":
+                codes, p0, lo, sc = encode_u16_delta(pts, lens)
+                dev = [jnp.asarray(x) for x in (codes, p0, lo, sc)]
+                if data_sh is not None:
+                    dev = [jax.device_put(x, data_sh) for x in dev]
+                stacked = streamline_metrics_stacked_u16(*dev, d_lens,
+                                                         dtype=dtype)
+                # reference-exact host torsion for the REAL rows (f64 from
+                # the original points; ~0.3 s/cohort native) — overwrites
+                # the decode-noisy device column at finish()
+                host_tau = torsion_f64(pts[:S], lens[:S])
+            else:
+                d_pts = jnp.asarray(pts)
+                if data_sh is not None:
+                    d_pts = jax.device_put(d_pts, data_sh)
+                stacked = streamline_metrics_stacked(d_pts, d_lens,
+                                                     dtype=dtype)
+                host_tau = None
             pending.append((stacked, S,
                             np.fromiter((bi for bi, _ in chunk),
-                                        np.int64, count=S), sls))
+                                        np.int64, count=S), sls, host_tau))
 
     # bucket fill-factor observability (pad points are H2D bytes on a
     # tens-of-MB/s link): aggregate + per-bucket waste, so _bucket_P tuning
@@ -174,9 +204,11 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
         padded = sum(f[1] for f in fill.values())
         per = ", ".join(f"P{P}:{100 * (1 - f[0] / f[1]):.0f}%"
                         for P, f in sorted(fill.items()))
-        log.info("geometry pad waste: %.0f%% of %.1f MB uploaded "
+        bytes_per_pt = 6 if upload == "u16d" else 12  # u16 codes vs f32
+        log.info("geometry pad waste: %.0f%% of %.1f MB uploaded%s "
                  "(per-bucket: %s)", 100 * (1 - real / padded),
-                 padded * 12 / 1e6, per)
+                 padded * bytes_per_pt / 1e6,
+                 " [u16-delta]" if upload == "u16d" else "", per)
 
     # D2H drain split from host compute: the stacked results are small
     # (~19 floats x S streamlines ~= 18 MB for the bench cohort, ~1.5 s at
@@ -189,23 +221,31 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
     def drain() -> None:
         if not _drained:
             _drained.append([np.asarray(stacked)[:, :S].T
-                             for stacked, S, _, _ in pending])
+                             for stacked, S, _, _, _ in pending])
 
     def finish() -> List[Dict[str, float]]:
         drain()
         vals_parts = _drained[0]
-        bids_parts = [bids for _, _, bids, _ in pending]
+        bids_parts = [bids for _, _, bids, _, _ in pending]
 
         V = np.concatenate(vals_parts)                 # (S_total, 19)
         bids = np.concatenate(bids_parts)
         valid = V[:, STACKED_NAMES.index("valid")] > 0.5
+
+        if upload == "u16d":
+            # torsion is the one metric the u16-delta decode noise breaks
+            # (see launch docstring); replace the device column with the
+            # reference-exact host f64 values computed at launch
+            V = np.ascontiguousarray(V)
+            V[:, STACKED_NAMES.index("torsion_mean")] = np.concatenate(
+                [tau for _, _, _, _, tau in pending]).astype(V.dtype)
 
         # f64 refinement of eigen-ratio metrics where the f32 certificate
         # failed (exact reference inf-gate semantics; see ops.geometry)
         eigen_ok = V[:, STACKED_NAMES.index("eigen_ok")] > 0.5
         refine = np.nonzero(valid & ~eigen_ok)[0]
         if len(refine):
-            all_sls = [sl for _, _, _, sls in pending for sl in sls]
+            all_sls = [sl for _, _, _, sls, _ in pending for sl in sls]
             cols = [STACKED_NAMES.index(c) for c in
                     ("elongation_ratio", "planarity_ratio",
                      "anisotropy_ratio")]
@@ -290,7 +330,7 @@ def decompress_vtk_if_needed(path: Path) -> Path:
 
 def launch_all_tracts(config: Config, data_dir: Path,
                       max_streamlines: Optional[int] = 100,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, upload: str = "f32"):
     """Read the cohort and ENQUEUE its device dispatches; returns a
     zero-argument ``finish()`` producing the cohort metrics DataFrame.
 
@@ -356,7 +396,8 @@ def launch_all_tracts(config: Config, data_dir: Path,
         return empty
 
     with stage("geometry.launch"):
-        finish_metrics = launch_bundle_metrics(bundles, dtype=dtype)
+        finish_metrics = launch_bundle_metrics(bundles, dtype=dtype,
+                                               upload=upload)
 
     def finish() -> pd.DataFrame:
         with stage("geometry.compute"):
@@ -438,7 +479,7 @@ def launch_geometry(config: Optional[Config] = None,
                     data_dir: str | Path | None = None,
                     output_dir: str | Path | None = None,
                     max_streamlines: Optional[int] = 100,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, upload: str = "f32"):
     """Async geometry stage: read the cohort + enqueue all device work NOW;
     the returned ``finish()`` fetches results and writes the three CSVs.
 
@@ -454,7 +495,7 @@ def launch_geometry(config: Optional[Config] = None,
 
     finish_tracts = launch_all_tracts(config, data_dir,
                                       max_streamlines=max_streamlines,
-                                      dtype=dtype)
+                                      dtype=dtype, upload=upload)
 
     def finish() -> pd.DataFrame:
         results_df = finish_tracts()
@@ -478,10 +519,10 @@ def run_geometry(config: Optional[Config] = None,
                  data_dir: str | Path | None = None,
                  output_dir: str | Path | None = None,
                  max_streamlines: Optional[int] = 100,
-                 dtype=jnp.float32) -> pd.DataFrame:
+                 dtype=jnp.float32, upload: str = "f32") -> pd.DataFrame:
     """End-to-end geometry stage (reference main():299-329)."""
     with stage("geometry"):
         return launch_geometry(config, data_dir=data_dir,
                                output_dir=output_dir,
                                max_streamlines=max_streamlines,
-                               dtype=dtype)()
+                               dtype=dtype, upload=upload)()
