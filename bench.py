@@ -340,6 +340,22 @@ def main():
         log(f"[setup] fleet upload auto-policy: {choice} "
             f"(H2D {link[0]:.1f} MB/s)")
 
+    # geometry upload auto-policy: the u16 delta codec ships 70.8 MB instead
+    # of 141.6 (ops.geo_codec) for a ~0.5-2.5 s host pass (native encode
+    # 0.24-0.29 s idle + f64 torsion, contention-scaled).  Unlike the fleet
+    # knob this is NOT a win at every link: the matched-weather A/B
+    # (benchmarks/geo_upload_ab_probe.py, ~25-35 MB/s window) measured a
+    # wash on bests (19.76 vs 19.86 s) with u16d behind in all 3 cycles —
+    # at fast links the stream pipeline already hides the geometry upload
+    # and the encode just adds 1-core host work.  The codec only pays when
+    # the wire is the binding constraint: below 20 MB/s the 70.8 MB saved
+    # is >= 3.5 s against the worst-case host cost.
+    if _fleet_knobs()["geo"] == "auto":
+        gchoice = "u16d" if link[0] < 20.0 else "f32"
+        os.environ["BENCH_GEO_UPLOAD"] = gchoice
+        log(f"[setup] geometry upload auto-policy: {gchoice} "
+            f"(H2D {link[0]:.1f} MB/s)")
+
     cold_start = None
     if os.environ.get("BENCH_WARMUP_PASS", "1") == "1":
         # Untimed warmup pass: compiles/loads every program once so the timed
@@ -403,10 +419,11 @@ def main():
     if os.environ.get("BENCH_F32_PASS", "1") == "1":
         saved = {k: os.environ.get(k) for k in
                  ("BENCH_FLEET_DTYPE", "BENCH_FLEET_STORE",
-                  "BENCH_FLEET_UPLOAD")}
+                  "BENCH_FLEET_UPLOAD", "BENCH_GEO_UPLOAD")}
         os.environ.update({"BENCH_FLEET_DTYPE": "f32",
                            "BENCH_FLEET_STORE": "f32",
-                           "BENCH_FLEET_UPLOAD": "f32"})
+                           "BENCH_FLEET_UPLOAD": "f32",
+                           "BENCH_GEO_UPLOAD": "f32"})
         log("[bench] full-precision pass (all knobs f32) ...")
         _run_pipeline(root, cfg, warm=True)  # untimed: compiles f32 programs
         f32_total, *_ = _run_pipeline(root, cfg, warm=False, emit=False)
@@ -476,7 +493,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     geo_finish = launch_geometry(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "geometry",
                                  max_streamlines=100,
-                                 upload=_fleet_knobs()["geo"])
+                                 upload=_geo_upload())
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
 
@@ -709,7 +726,7 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
     geo_finish = launch_geometry(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "geometry",
                                  max_streamlines=100,
-                                 upload=_fleet_knobs()["geo"])
+                                 upload=_geo_upload())
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
 
@@ -836,7 +853,15 @@ def _fleet_knobs():
             "store": os.environ.get("BENCH_FLEET_STORE", "bf16"),
             "upload": os.environ.get("BENCH_FLEET_UPLOAD", "auto"),
             "chunks": os.environ.get("BENCH_FLEET_CHUNKS", "auto"),
-            "geo": os.environ.get("BENCH_GEO_UPLOAD", "f32")}
+            "geo": os.environ.get("BENCH_GEO_UPLOAD", "auto")}
+
+
+def _geo_upload():
+    """The geometry upload codec for _run_pipeline: main()'s link-keyed
+    auto-policy resolves "auto" by mutating BENCH_GEO_UPLOAD; probes that
+    call _run_pipeline directly get the measured-safe default (f32)."""
+    geo = _fleet_knobs()["geo"]
+    return "f32" if geo == "auto" else geo
 
 
 def _approximations():
