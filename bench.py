@@ -357,15 +357,24 @@ def main():
             f"(H2D {link[0]:.1f} MB/s)")
 
     cold_start = None
+    warm_mode = os.environ.get("BENCH_WARM_MODE", "compile")
     if os.environ.get("BENCH_WARMUP_PASS", "1") == "1":
         # Untimed warmup pass: compiles/loads every program once so the timed
         # pass measures steady-state pipeline throughput (XLA executables are
         # reusable across runs in production; first-compile is a one-time
         # cost, and on this remote attachment a highly variable one).  Its
         # wall-clock IS the cold-start number, reported alongside.
-        log("[setup] warmup pass (untimed cold start) ...")
+        # Default mode "compile": the big H2D blocks are replaced by tiny
+        # patterns tiled/broadcast ON DEVICE at the exact production avals
+        # (launch_bundle_metrics/launch_many_vaes warm_compile) — every
+        # program still compiles, loads, and executes once, but the warmup
+        # ships ~KB instead of ~340 MB over the 7-40 MB/s link, which was
+        # most of the r3/r4 cold_start_s.  BENCH_WARM_MODE=full restores
+        # the full-data warmup (the pre-round-4 cold-start definition).
+        log(f"[setup] warmup pass (untimed cold start, mode={warm_mode}) ...")
         t0 = time.perf_counter()
-        _run_pipeline(root, cfg, warm=True)
+        _run_pipeline(root, cfg, warm=True,
+                      warm_compile=(warm_mode == "compile"))
         cold_start = time.perf_counter() - t0
         log(f"[setup] cold-start pass done in {cold_start:.1f}s")
 
@@ -411,6 +420,7 @@ def main():
              **ab_fields}
     if cold_start is not None:
         extra["cold_start_s"] = round(cold_start, 1)
+        extra["warmup_mode"] = warm_mode  # "compile" ships ~KB, "full" all
 
     # Approximation-free reference pass (VERDICT r3 #6): one extra timed run
     # with every precision knob OFF (f32 compute/storage/upload) so the cost
@@ -425,7 +435,8 @@ def main():
                            "BENCH_FLEET_UPLOAD": "f32",
                            "BENCH_GEO_UPLOAD": "f32"})
         log("[bench] full-precision pass (all knobs f32) ...")
-        _run_pipeline(root, cfg, warm=True)  # untimed: compiles f32 programs
+        _run_pipeline(root, cfg, warm=True,  # untimed: compiles f32 programs
+                      warm_compile=(warm_mode == "compile"))
         f32_total, *_ = _run_pipeline(root, cfg, warm=False, emit=False)
         extra["full_precision_value_s"] = round(f32_total, 3)
         log(f"[bench] full-precision wall-clock {f32_total:.2f}s "
@@ -468,13 +479,15 @@ def main():
     print(json.dumps(_result_json(best_total, exclusions, extra)))
 
 
-def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
+def _run_pipeline(root, cfg, warm: bool, emit: bool = False,
+                  warm_compile: bool = False):
     # default per the matched-weather A/B (benchmarks/pipe_ab_probe.py):
     # stream won every cycle — 16.9/19.5, 18.3/19.2, 21.8/24.9 s at a
     # 19.6 MB/s link (and 3/3 cycles of an earlier, noisier session).
     # BENCH_PIPE=batch restores the parse-everything-then-launch pipeline.
     if os.environ.get("BENCH_PIPE", "stream") == "stream":
-        return _run_pipeline_stream(root, cfg, warm, emit)
+        return _run_pipeline_stream(root, cfg, warm, emit,
+                                    warm_compile=warm_compile)
 
     from lesionvae_tpu.pipeline.geometry_run import launch_geometry
     from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
@@ -493,7 +506,8 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     geo_finish = launch_geometry(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "geometry",
                                  max_streamlines=100,
-                                 upload=_geo_upload())
+                                 upload=_geo_upload(),
+                                 warm_compile=warm_compile)
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
 
@@ -601,7 +615,7 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
             seed=42, compute_dtype=fleet_dtype, store_dtype=store_dtype,
             summary_spec=(sham_T, subj_T, n_subj + 1, 42),
             normalize_on_device=True, quantize_upload=quant,
-            upload_chunks=chunks)
+            upload_chunks=chunks, warm_compile=warm_compile)
         log(f"[bench] fleet enqueued in {time.perf_counter() - t0:.2f}s")
         return handle
 
@@ -683,7 +697,8 @@ def _run_pipeline(root, cfg, warm: bool, emit: bool = False):
     return total, steps / fleet_wall, exclusions, device_time
 
 
-def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
+def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False,
+                         warm_compile: bool = False):
     """Streaming pipeline (BENCH_PIPE=stream): the host CSV parse and the
     fleet H2D upload share the wall-clock instead of serializing.
 
@@ -726,7 +741,8 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
     geo_finish = launch_geometry(cfg, data_dir=root / "data",
                                  output_dir=out_dir / "geometry",
                                  max_streamlines=100,
-                                 upload=_geo_upload())
+                                 upload=_geo_upload(),
+                                 warm_compile=warm_compile)
     t_geo_launch = time.perf_counter() - t0
     log(f"[bench] geometry read+launch in {t_geo_launch:.2f}s")
 
@@ -777,7 +793,8 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False):
             store_dtype=store_dtype,
             summary_spec=(sham_b, subj_b, n_subj + 1, 42),
             normalize_on_device=True, quantize_upload=quant,
-            upload_chunks=bchunks, member_keys=keys_b)
+            upload_chunks=bchunks, member_keys=keys_b,
+            warm_compile=warm_compile)
         blocks.append((tp, handle, n_real_b, T_b))
         log(f"[bench] stream: block {tp} ({T_b} members) launched at "
             f"+{time.perf_counter() - t_stream0:.2f}s")

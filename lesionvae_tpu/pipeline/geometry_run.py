@@ -58,6 +58,16 @@ def _bucket_P(n: int) -> int:
     return b
 
 
+def _warm_helix(P: int) -> np.ndarray:
+    """(P, 3) helix for warm_compile launches: nonzero arc length (rows stay
+    ``valid``), full-rank covariance with well-separated eigenvalues (the
+    f32 eigen certificate passes, so the host f64 refine loop stays empty —
+    the property that makes a garbage-data warmup SAFE to run at cohort
+    scale)."""
+    t = np.linspace(0, 4 * np.pi, P, dtype=np.float32)
+    return np.stack([np.cos(t), np.sin(t), 0.1 * t], axis=1)
+
+
 def metrics_dataframe(streamlines: Sequence[np.ndarray],
                       dtype=jnp.float32) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Per-streamline + bundle-summary DataFrames for one bundle."""
@@ -104,7 +114,7 @@ def compute_streamline_metrics(vtk_path: str | Path,
 # ----------------------------------------------------------------------------
 def launch_bundle_metrics(bundles: List[List[np.ndarray]],
                           dtype=jnp.float32, mesh=None,
-                          upload: str = "f32"):
+                          upload: str = "f32", warm_compile: bool = False):
     """Enqueue the fused per-bucket device dispatches for many bundles and
     return a zero-argument ``finish()`` callable producing the bundle
     summaries.
@@ -126,6 +136,14 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
     ``mesh``: optional jax.sharding.Mesh — each chunk's streamline axis is
     sharded over the ``data`` axis (the cohort's scaling axis, SURVEY.md §5.7);
     the kernel is embarrassingly parallel so XLA needs no collectives.
+
+    ``warm_compile``: compile-and-load warmup mode — every chunk's point
+    block is replaced by one tiny host helix BROADCAST ON DEVICE to the
+    exact production aval, so the programs compile/load/execute while
+    shipping ~KB instead of ~70-140 MB over the H2D link (the bench
+    cold-start cost).  Real ``lens`` keep the masking honest; the helix has
+    full-rank covariance so the f64 eigen-refine path stays empty.  Results
+    are garbage; callers discard them.
     """
     if upload not in ("f32", "u16d"):
         raise ValueError(f"unknown geometry upload codec: {upload!r}")
@@ -174,7 +192,29 @@ def launch_bundle_metrics(bundles: List[List[np.ndarray]],
             d_lens = jnp.asarray(lens)
             if data_sh is not None:
                 d_lens = jax.device_put(d_lens, data_sh)
-            if upload == "u16d":
+            if warm_compile:
+                helix = _warm_helix(P)
+                if upload == "u16d":
+                    c_h, p0_h, lo_h, sc_h = encode_u16_delta(
+                        helix[None], np.array([P], np.int32))
+                    dev = [jnp.broadcast_to(jnp.asarray(c_h[0]),
+                                            (S_pad, P - 1, 3)),
+                           jnp.broadcast_to(jnp.asarray(p0_h[0]),
+                                            (S_pad, 3)),
+                           jnp.broadcast_to(jnp.asarray(lo_h[0]),
+                                            (S_pad, 3)),
+                           jnp.broadcast_to(jnp.asarray(sc_h[0]),
+                                            (S_pad, 3))]
+                    stacked = streamline_metrics_stacked_u16(*dev, d_lens,
+                                                             dtype=dtype)
+                    host_tau = np.zeros(S)
+                else:
+                    d_pts = jnp.broadcast_to(jnp.asarray(helix),
+                                             (S_pad, P, 3))
+                    stacked = streamline_metrics_stacked(d_pts, d_lens,
+                                                         dtype=dtype)
+                    host_tau = None
+            elif upload == "u16d":
                 codes, p0, lo, sc = encode_u16_delta(pts, lens)
                 dev = [jnp.asarray(x) for x in (codes, p0, lo, sc)]
                 if data_sh is not None:
@@ -330,7 +370,8 @@ def decompress_vtk_if_needed(path: Path) -> Path:
 
 def launch_all_tracts(config: Config, data_dir: Path,
                       max_streamlines: Optional[int] = 100,
-                      dtype=jnp.float32, upload: str = "f32"):
+                      dtype=jnp.float32, upload: str = "f32",
+                      warm_compile: bool = False):
     """Read the cohort and ENQUEUE its device dispatches; returns a
     zero-argument ``finish()`` producing the cohort metrics DataFrame.
 
@@ -397,7 +438,8 @@ def launch_all_tracts(config: Config, data_dir: Path,
 
     with stage("geometry.launch"):
         finish_metrics = launch_bundle_metrics(bundles, dtype=dtype,
-                                               upload=upload)
+                                               upload=upload,
+                                               warm_compile=warm_compile)
 
     def finish() -> pd.DataFrame:
         with stage("geometry.compute"):
@@ -479,7 +521,8 @@ def launch_geometry(config: Optional[Config] = None,
                     data_dir: str | Path | None = None,
                     output_dir: str | Path | None = None,
                     max_streamlines: Optional[int] = 100,
-                    dtype=jnp.float32, upload: str = "f32"):
+                    dtype=jnp.float32, upload: str = "f32",
+                    warm_compile: bool = False):
     """Async geometry stage: read the cohort + enqueue all device work NOW;
     the returned ``finish()`` fetches results and writes the three CSVs.
 
@@ -495,7 +538,8 @@ def launch_geometry(config: Optional[Config] = None,
 
     finish_tracts = launch_all_tracts(config, data_dir,
                                       max_streamlines=max_streamlines,
-                                      dtype=dtype, upload=upload)
+                                      dtype=dtype, upload=upload,
+                                      warm_compile=warm_compile)
 
     def finish() -> pd.DataFrame:
         results_df = finish_tracts()
