@@ -395,6 +395,21 @@ def main():
         if o is not None:
             os.environ["BENCH_ORDER"] = o
         runs.append(_run_pipeline(root, cfg, warm=False, emit=False) + (o,))
+    # weather-adaptive extension: the attachment's throughput swings 2-5x
+    # BETWEEN repeats, not just between processes (observed 32/46/40 s for
+    # identical work in one process).  When the spread says the window was
+    # noisy, buy up to BENCH_REPEATS_EXTRA more samples so the recorded
+    # best reflects the pipeline, not one bad gust.  Skipped in ab mode
+    # (extra unpaired runs would bias the order comparison).
+    extra_reps = int(os.environ.get("BENCH_REPEATS_EXTRA", "2"))
+    while (not ab and extra_reps > 0 and len(runs) >= 2
+           and (max(r[0] for r in runs) - min(r[0] for r in runs))
+           > 0.4 * min(r[0] for r in runs)):
+        extra_reps -= 1
+        log(f"[bench] noisy window (spread {max(r[0] for r in runs):.1f}/"
+            f"{min(r[0] for r in runs):.1f}s) -> extra repeat")
+        runs.append(_run_pipeline(root, cfg, warm=False, emit=False)
+                    + (None,))
     ab_fields = {}
     if ab:
         os.environ["BENCH_ORDER"] = "ab"
@@ -411,6 +426,7 @@ def main():
     # coherent row); the min across repeats is reported separately as the
     # weather-independent regression signal
     extra = {"vae_steps_per_s": round(best_steps, 1),
+             "repeats_s": [round(r[0], 2) for r in runs],
              "device_time_s": round(best_dt, 2),
              "device_time_min_s": round(min(r[3] for r in runs), 2),
              "link_h2d_mb_s": round(link[0], 1),
