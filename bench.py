@@ -745,7 +745,7 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False,
     import jax.numpy as jnp
 
     from lesionvae_tpu.pipeline.geometry_run import launch_geometry
-    from lesionvae_tpu.pipeline.lesion_run import run_lesion_analysis
+    from lesionvae_tpu.pipeline.lesion_run import launch_lesion_analysis
     from lesionvae_tpu.train.batched import launch_many_vaes, pad_datasets
 
     out_dir = root / "bench_results"
@@ -833,12 +833,16 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False,
     t_geo = t_geo_launch + t_geo_finish
     log(f"[bench] geometry: {len(geo_df)} bundles in {t_geo:.2f}s total")
 
+    # lesion SH: host prepare + device ENQUEUE only — the tiny SH program's
+    # blocking fetch was measured 0.07-9.9 s for identical work depending
+    # on the fleet traffic queued ahead of it; moving the fetch after the
+    # fleet collect (below) takes that queue wait off the critical path
     t0 = time.perf_counter()
-    les_df = run_lesion_analysis(cfg, data_dir=root / "data",
-                                 output_dir=out_dir / "lesion",
-                                 max_l=6, num_samples=2000, seed=0)
+    les_finish = launch_lesion_analysis(cfg, data_dir=root / "data",
+                                        output_dir=out_dir / "lesion",
+                                        max_l=6, num_samples=2000, seed=0)
     t_sh = time.perf_counter() - t0
-    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s")
+    log(f"[bench] lesion SH: prepared + enqueued in {t_sh:.2f}s")
 
     # collect every block (oldest first — FIFO matches execution order)
     t0 = time.perf_counter()
@@ -855,6 +859,14 @@ def _run_pipeline_stream(root, cfg, warm: bool, emit: bool = False,
     hist = np.concatenate(hists)
     t_vae = time.perf_counter() - t0
     log(f"[bench]   fleet collect (all {len(blocks)} blocks) {t_vae:.2f}s")
+
+    # SH fetch: its program ran during the fleet waits above, so this is
+    # one small D2H + the host fill/CSV tail
+    t0 = time.perf_counter()
+    les_df = les_finish()
+    t_sh += time.perf_counter() - t0
+    log(f"[bench] lesion SH: {len(les_df)} records in {t_sh:.2f}s total")
+
     steps = epochs * (n_pad0 // 64) * T
     fleet_wall = time.perf_counter() - t_stream0
     log(f"[bench] VAE fleet: {T} VAEs x {epochs} epochs "

@@ -121,11 +121,14 @@ def prepare_lesion(lesion_path: Path, num_samples: int,
     return _PreparedLesion(surface, centroid_mm, scale, volume), "ok"
 
 
-def _sh_device_batch(prepared: List[_PreparedLesion], max_l: int,
-                     num_samples: int) -> List[Dict[str, np.ndarray]]:
-    """One batched TPU dispatch: radius sampling + SH fit for all lesions."""
+def _sh_device_launch(prepared: List[_PreparedLesion], max_l: int,
+                      num_samples: int):
+    """Enqueue the batched radius-sampling + SH-fit dispatch; returns the
+    packed device future (or None for an empty batch).  The jit calls
+    return without blocking, so callers can overlap other work (the bench
+    fleet collect) before the blocking fetch in ``_sh_device_finish``."""
     if not prepared:
-        return []
+        return None
     x64 = jax.config.jax_enable_x64
     directions, _theta, _phi, basis, chol_c = cached_basis(
         max_l, num_samples, x64=x64)
@@ -145,13 +148,27 @@ def _sh_device_batch(prepared: List[_PreparedLesion], max_l: int,
         radii = sample_radii(jnp.asarray(surf), jnp.asarray(counts),
                              jnp.asarray(cens), directions)
     radii_normalized = radii * jnp.asarray(scales)[:, None]  # :392-393
-    packed = sh_fit_batch_packed(radii_normalized, basis, chol_c, max_l=max_l)
+    return sh_fit_batch_packed(radii_normalized, basis, chol_c, max_l=max_l)
+
+
+def _sh_device_finish(packed, n: int, max_l: int
+                      ) -> List[Dict[str, np.ndarray]]:
+    """Fetch + unpack the device batch from ``_sh_device_launch``."""
+    if packed is None:
+        return []
     out = unpack_sh_fit(np.asarray(packed), max_l)  # single D2H transfer
     return [
         {k: out[k][i] for k in ("coeffs", "P_raw", "P_norm",
                                 "reconstruction_r", "c_l0")}
-        for i in range(len(prepared))
+        for i in range(n)
     ]
+
+
+def _sh_device_batch(prepared: List[_PreparedLesion], max_l: int,
+                     num_samples: int) -> List[Dict[str, np.ndarray]]:
+    """One batched TPU dispatch: radius sampling + SH fit for all lesions."""
+    return _sh_device_finish(_sh_device_launch(prepared, max_l, num_samples),
+                             len(prepared), max_l)
 
 
 def _fill_sh_fields(result: Dict, p: _PreparedLesion, sh: Dict,
@@ -227,17 +244,19 @@ def _per_lesion_plots(row: Dict, p: _PreparedLesion, sh: Dict, max_l: int,
 # ----------------------------------------------------------------------------
 # Cohort drivers
 # ----------------------------------------------------------------------------
-def analyze_all_lesions(config: Config, data_dir: Path,
-                        max_l: int = 6, num_samples: int = 2000,
-                        strict: bool = False, with_heme: bool = True,
-                        seed: Optional[int] = 0,
-                        per_lesion_plots_dir: Optional[Path] = None
-                        ) -> pd.DataFrame:
-    """Batched cohort analysis over TBI+PTE subjects x all timepoints.
+def launch_all_lesions(config: Config, data_dir: Path,
+                       max_l: int = 6, num_samples: int = 2000,
+                       strict: bool = False, with_heme: bool = True,
+                       seed: Optional[int] = 0,
+                       per_lesion_plots_dir: Optional[Path] = None):
+    """Host prepare + ENQUEUE the cohort SH device batch; returns a
+    zero-argument ``finish()`` producing the DataFrame.
 
-    Mirrors analyze_all_lesions_and_heme (lenient, :444-529) or
-    analyze_all_lesions (strict, lesion_sh_shape_descriptors.py:572-643),
-    but the SH math for every lesion runs as one device batch."""
+    The blocking D2H fetch moves into finish(): on the remote-attached
+    bench chip the tiny SH program queues behind whatever is ahead of it
+    on the link (measured 0.07-9.9 s for identical work depending on the
+    fleet traffic in front), so callers launch here and fetch after their
+    other device waits have drained."""
     subjects_by_group = config.subjects_by_group(only=("TBI", "PTE"))
     group_mapping = {s: g for g, subs in subjects_by_group.items() for s in subs}
     all_subjects = sorted(group_mapping)
@@ -271,31 +290,57 @@ def analyze_all_lesions(config: Config, data_dir: Path,
                         k: np.nan for k in vol.HEME_ZERO})
                 rows.append(result)
 
-    # one fused device batch for every real lesion in the cohort
-    with stage("lesion.sh_batch"):
-        sh_results = _sh_device_batch([p for _, p in pending], max_l,
-                                      num_samples)
-    for (idx, p), sh in zip(pending, sh_results):
-        _fill_sh_fields(rows[idx], p, sh, rows[idx]["_brain_volume"], max_l,
-                        strict)
-        if per_lesion_plots_dir is not None:
-            _per_lesion_plots(rows[idx], p, sh, max_l, num_samples,
-                              per_lesion_plots_dir)
-    for r in rows:
-        r.pop("_brain_volume", None)
+    # one fused device batch for every real lesion in the cohort (enqueued
+    # now; fetched in finish())
+    with stage("lesion.sh_launch"):
+        packed = _sh_device_launch([p for _, p in pending], max_l,
+                                   num_samples)
 
-    df = pd.DataFrame(rows)
-    log.info("lesion analysis complete: %d records (strict=%s)", len(df), strict)
-    return df
+    def finish() -> pd.DataFrame:
+        with stage("lesion.sh_batch"):
+            sh_results = _sh_device_finish(packed, len(pending), max_l)
+        for (idx, p), sh in zip(pending, sh_results):
+            _fill_sh_fields(rows[idx], p, sh, rows[idx]["_brain_volume"],
+                            max_l, strict)
+            if per_lesion_plots_dir is not None:
+                _per_lesion_plots(rows[idx], p, sh, max_l, num_samples,
+                                  per_lesion_plots_dir)
+        for r in rows:
+            r.pop("_brain_volume", None)
+
+        df = pd.DataFrame(rows)
+        log.info("lesion analysis complete: %d records (strict=%s)",
+                 len(df), strict)
+        return df
+
+    return finish
 
 
-def run_lesion_analysis(config: Optional[Config] = None,
-                        data_dir: str | Path | None = None,
-                        output_dir: str | Path | None = None,
+def analyze_all_lesions(config: Config, data_dir: Path,
                         max_l: int = 6, num_samples: int = 2000,
-                        seed: Optional[int] = 0) -> pd.DataFrame:
-    """Lenient SH+heme stage → lesion_sh_heme_comprehensive.csv
-    (reference main(): lesion_sh_heme_comprehensive.py:532-575)."""
+                        strict: bool = False, with_heme: bool = True,
+                        seed: Optional[int] = 0,
+                        per_lesion_plots_dir: Optional[Path] = None
+                        ) -> pd.DataFrame:
+    """Batched cohort analysis over TBI+PTE subjects x all timepoints.
+
+    Mirrors analyze_all_lesions_and_heme (lenient, :444-529) or
+    analyze_all_lesions (strict, lesion_sh_shape_descriptors.py:572-643),
+    but the SH math for every lesion runs as one device batch."""
+    return launch_all_lesions(config, data_dir, max_l=max_l,
+                              num_samples=num_samples, strict=strict,
+                              with_heme=with_heme, seed=seed,
+                              per_lesion_plots_dir=per_lesion_plots_dir)()
+
+
+def launch_lesion_analysis(config: Optional[Config] = None,
+                           data_dir: str | Path | None = None,
+                           output_dir: str | Path | None = None,
+                           max_l: int = 6, num_samples: int = 2000,
+                           seed: Optional[int] = 0):
+    """Async lenient SH+heme stage: host prepare + device enqueue NOW; the
+    returned ``finish()`` fetches, writes the CSV, and prints the pivot
+    summaries.  Same outputs as ``run_lesion_analysis``."""
     config = config or load_config()
     base = Path(config.base_path)
     data_dir = Path(data_dir) if data_dir else base / "data"
@@ -303,10 +348,12 @@ def run_lesion_analysis(config: Optional[Config] = None,
                   else base / "results" / "lesion_sh_heme_comprehensive")
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    with stage("lesion"):
-        df = analyze_all_lesions(config, data_dir, max_l=max_l,
-                                 num_samples=num_samples, strict=False,
-                                 with_heme=True, seed=seed)
+    finish_cohort = launch_all_lesions(config, data_dir, max_l=max_l,
+                                       num_samples=num_samples, strict=False,
+                                       with_heme=True, seed=seed)
+
+    def finish() -> pd.DataFrame:
+        df = finish_cohort()
         if len(df):
             df.to_csv(output_dir / "lesion_sh_heme_comprehensive.csv",
                       index=False)
@@ -319,7 +366,22 @@ def run_lesion_analysis(config: Optional[Config] = None,
             log.info("Heme Content by Group and Timepoint:\n%s",
                      df.pivot_table(values="heme_mean", index="timepoint",
                                     columns="group", aggfunc="mean"))
-    return df
+        return df
+
+    return finish
+
+
+def run_lesion_analysis(config: Optional[Config] = None,
+                        data_dir: str | Path | None = None,
+                        output_dir: str | Path | None = None,
+                        max_l: int = 6, num_samples: int = 2000,
+                        seed: Optional[int] = 0) -> pd.DataFrame:
+    """Lenient SH+heme stage → lesion_sh_heme_comprehensive.csv
+    (reference main(): lesion_sh_heme_comprehensive.py:532-575)."""
+    with stage("lesion"):
+        return launch_lesion_analysis(config, data_dir=data_dir,
+                                      output_dir=output_dir, max_l=max_l,
+                                      num_samples=num_samples, seed=seed)()
 
 
 def run_lesion_shape_descriptors(config: Optional[Config] = None,
