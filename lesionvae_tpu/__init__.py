@@ -36,6 +36,8 @@ _LAZY = {
     # cohort-scale additions beyond the reference's surface
     "run_vae_cohort": ("pipeline.vae_run", None),
     "launch_many_vaes": ("train.batched", None),
+    "launch_geometry": ("pipeline.geometry_run", None),
+    "launch_lesion_analysis": ("pipeline.lesion_run", None),
     "score_subjects": ("pipeline.infer", None),
     "score_cohort": ("pipeline.infer", None),
     "load_normative": ("pipeline.infer", None),
