@@ -31,7 +31,13 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_lesionvae"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persist-threshold: ~60 of the pipeline's programs compile in under 0.5 s
+# each, so the old 0.5 s threshold recompiled all of them in EVERY process
+# (6-20 s of the compile/load-bound cold start).  Persisting them costs a
+# few hundred small cache files; BENCH_CACHE_MIN_COMPILE_S restores any
+# threshold.
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ.get("BENCH_CACHE_MIN_COMPILE_S", "0.05")))
 # the axon TPU plugin ignores the JAX_PLATFORMS env var during discovery
 # (same quirk the CLI and tests/conftest.py work around): re-apply it through
 # the config API so JAX_PLATFORMS=cpu really benches on CPU — otherwise a
