@@ -29,8 +29,13 @@ import numpy as np
 
 import jax
 
+# repo-local default (gitignored): a /tmp cache dir is wiped on host reboot
+# (observed: a reboot turned a hits-84 steady state into hits-0 / 171 s cold
+# start), while the repo tree persists across reboots and driver stages
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_lesionvae"))
+                  os.environ.get("JAX_CACHE_DIR",
+                                 str(Path(__file__).resolve().parent
+                                     / ".jax_cache")))
 # persist-threshold: ~60 of the pipeline's programs compile in under 0.5 s
 # each, so the old 0.5 s threshold recompiled all of them in EVERY process
 # (6-20 s of the compile/load-bound cold start).  Persisting them costs a
