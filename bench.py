@@ -29,20 +29,17 @@ import numpy as np
 
 import jax
 
-# repo-local default (gitignored): a /tmp cache dir is wiped on host reboot
-# (observed: a reboot turned a hits-84 steady state into hits-0 / 171 s cold
-# start), while the repo tree persists across reboots and driver stages
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR",
-                                 str(Path(__file__).resolve().parent
-                                     / ".jax_cache")))
-# persist-threshold: ~60 of the pipeline's programs compile in under 0.5 s
-# each, so the old 0.5 s threshold recompiled all of them in EVERY process
-# (6-20 s of the compile/load-bound cold start).  Persisting them costs a
-# few hundred small cache files; BENCH_CACHE_MIN_COMPILE_S restores any
-# threshold.
-jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                  float(os.environ.get("BENCH_CACHE_MIN_COMPILE_S", "0.05")))
+from lesionvae_tpu.utils.cache import configure_cache
+
+# one shared cache policy (utils/cache.configure_cache): repo-local live dir
+# (a /tmp dir is wiped on host reboot — observed turning a hits-84 steady
+# state into hits-0 / 171 s cold start), pre-seeded from the COMMITTED
+# cache_seed/tpu so even a fresh checkout's first process starts
+# compile-warm (round 4's driver run started cold: 84 misses, 123 s), with
+# the 0.05 s persist threshold (~60 pipeline programs compile in <0.5 s and
+# the old threshold recompiled them every process).  Respects an outer
+# config; JAX_CACHE_DIR / BENCH_CACHE_MIN_COMPILE_S override.
+configure_cache("tpu")
 # the axon TPU plugin ignores the JAX_PLATFORMS env var during discovery
 # (same quirk the CLI and tests/conftest.py work around): re-apply it through
 # the config API so JAX_PLATFORMS=cpu really benches on CPU — otherwise a

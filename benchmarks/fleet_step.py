@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lesionvae")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from lesionvae_tpu.utils.cache import configure_cache
+configure_cache("tpu")  # shared repo-local cache (advisor r4: /tmp dir drifted)
 if os.environ.get("JAX_PLATFORMS"):
     # the axon TPU plugin ignores the env var; the config API wins
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

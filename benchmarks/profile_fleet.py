@@ -26,14 +26,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lesionvae")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from lesionvae_tpu.utils.cache import configure_cache
+configure_cache("tpu")  # shared repo-local cache (advisor r4: /tmp dir drifted)
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def run_traced_prod(n_epochs: int, trace_dir: str):
+    """Trace the PRODUCTION fleet program (train.batched._fleet_program with
+    the bench defaults: bf16 compute + bf16-SR storage) for ``n_epochs``
+    epochs — the f32 make_optimizer path below predates the lowmem default
+    and no longer matches what the bench ships.  PROFILE_MODE=prod."""
+    from lesionvae_tpu.train.batched import _fleet_program
+
+    T = int(os.environ.get("FLEET_T", "64"))
+    N_PAD = int(os.environ.get("FLEET_NPAD", "960"))
+    L = int(os.environ.get("FLEET_L", "100"))
+    CM, CL, LATENT, BATCH = 13, 3, 10, 64
+    store = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("FLEET_STORE", "bf16")]
+    comp = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("FLEET_DTYPE", "bf16")]
+    program, _m, n_batches = _fleet_program(
+        N_PAD, L, CM, CL, LATENT, n_epochs, BATCH, 2e-4, 1e-3, 2.0,
+        compute_dtype=comp, store_dtype=store)
+    rng = np.random.default_rng(0)
+    Xm = jnp.asarray(rng.normal(size=(T, N_PAD, L, CM)), jnp.float32)
+    Xl = jnp.asarray(rng.uniform(size=(T, N_PAD, L, CL)), jnp.float32)
+    n_real = jnp.full((T,), N_PAD, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), T)
+    jax.block_until_ready(program(Xm, Xl, n_real, keys))  # compile+load
+    n_steps = n_epochs * n_batches
+    t0 = time.perf_counter()
+    with jax.profiler.trace(trace_dir):
+        out = program(Xm, Xl, n_real,
+                      jax.random.split(jax.random.PRNGKey(1), T))
+        jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    log(f"traced {n_steps} prod fleet-steps ({n_epochs} epochs x "
+        f"{n_batches} batches) in {wall:.2f}s "
+        f"({wall / n_steps * 1e3:.2f} ms/fleet-step wall)")
+    return n_steps
 
 
 def run_traced(n_steps: int, trace_dir: str):

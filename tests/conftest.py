@@ -26,19 +26,17 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the 1-core CI host pays heavy XLA compile
-# times; caching makes repeated test runs much faster.  Host-keyed dir:
-# XLA:CPU AOT cache entries only deserialize on a host with matching machine
-# features (utils/cache.py), so a shared dir across heterogeneous CI hosts
-# would be a silently dead cache.
+# times; caching makes repeated test runs much faster.  Shared policy
+# (utils/cache.configure_cache, role=cpu): repo-local host-keyed live dir —
+# the same dir the multichip dryrun bootstrap uses, so tests and dryrun
+# share compiles — pre-seeded from the committed cache_seed/cpu_*.
 import sys  # noqa: E402
 from pathlib import Path  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from lesionvae_tpu.utils.cache import host_keyed_cache_dir  # noqa: E402
+from lesionvae_tpu.utils.cache import configure_cache  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  host_keyed_cache_dir("/tmp/jax_cache_lesionvae"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+configure_cache("cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
