@@ -480,6 +480,8 @@ def main():
                                                       stage_breakdown)
         trace_dir = tempfile.mkdtemp(prefix="bench_devtrace_")
         log("[bench] profiled pass (untimed, for device_exec_s) ...")
+        from lesionvae_tpu.train import batched as _batched
+        _batched.reset_fleet_ledger()  # scope the traffic model to this pass
         try:
             with jax.profiler.trace(trace_dir):
                 _run_pipeline(root, cfg, warm=True)
@@ -500,6 +502,33 @@ def main():
                 + ", ".join(f"{k}={v:.2f}s" for k, v in top))
             extra["device_exec_s"] = breakdown.pop("total")
             extra["device_exec"] = breakdown
+            # HBM traffic model (VERDICT r4 #3): turn the xplane-measured
+            # fleet device-exec seconds into achieved bytes/s + MFU vs the
+            # v5e peaks (819 GB/s, 197 bf16 TFLOP/s) using the static
+            # per-step byte/FLOP counts (utils/cost_model.py — param tree
+            # via eval_shape, activation boundaries per the model walk).
+            try:
+                import jax.numpy as jnp
+
+                from lesionvae_tpu.utils.cost_model import \
+                    bench_traffic_fields
+                knobs = _fleet_knobs()
+                dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+                extra.update(bench_traffic_fields(
+                    _batched.FLEET_LAUNCH_LEDGER,
+                    epochs=40 if SCALE == "full" else 5, batch_size=64,
+                    store_dtype=dt[knobs["store"]],
+                    compute_dtype=dt[knobs["dtype"]],
+                    fleet_device_s=breakdown.get("fleet", 0.0)))
+                if "fleet_hbm_gbps" in extra:
+                    log(f"[bench] fleet traffic model: "
+                        f"{extra['fleet_traffic_gb']} GB moved in "
+                        f"{breakdown.get('fleet', 0.0):.2f}s device -> "
+                        f"{extra['fleet_hbm_gbps']} GB/s achieved "
+                        f"({extra['fleet_hbm_frac_peak']:.0%} of v5e peak), "
+                        f"MFU {extra['fleet_mfu']:.1%}")
+            except Exception as e:  # the model must never kill the bench
+                log(f"[bench] fleet traffic model unavailable: {e!r}")
     print(json.dumps(_result_json(best_total, exclusions, extra)))
 
 

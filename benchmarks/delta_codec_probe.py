@@ -56,6 +56,38 @@ def encode_delta_u8_ef(X):
     return rec, float(np.mean(dmax / np.maximum(hi - lo, 1e-30)))
 
 
+def per_feature_table(name, X):
+    """VERDICT r4 #5: the all-or-nothing probe rejected delta-u8 because ONE
+    feature binds (z-shift 1.06e-2) — measure each feature separately so a
+    MIXED codec (u8 for the delta-safe features, u16 for the rest) can be
+    accepted or rejected per-feature.  Prints max z-shift per feature and
+    the mixed-codec wire math for the u8-safe subset (threshold 1e-4 — the
+    band the u16 codec itself achieves, 5.0e-5 measured)."""
+    T, n, L, C = X.shape
+    rec, _ = encode_delta_u8_ef(X)
+    err = np.abs(rec - X)
+    std = np.maximum(X.std(axis=(1, 2), keepdims=True), 1e-30)
+    z = err / std                                     # (T, n, L, C)
+    safe = []
+    print(f"{name}: per-feature delta-u8 z-shift "
+          f"(u8-safe threshold 1e-4):")
+    for c in range(C):
+        zmax = float(z[..., c].max())
+        zp99 = float(np.percentile(z[..., c], 99))
+        ok = zmax <= 1e-4
+        safe.append(ok)
+        print(f"  [{c:2d}] max {zmax:.2e}  p99 {zp99:.2e}  "
+              f"{'u8-SAFE' if ok else 'u16'}")
+    k = sum(safe)
+    u8d_frac = (2.0 + (L - 1) * 1.0) / (2.0 * L)      # u8-delta/u16 bytes
+    mb_u16 = X.size * 2 / 1e6
+    mb_mixed = mb_u16 * ((C - k) / C + (k / C) * u8d_frac)
+    print(f"{name}: {k}/{C} features u8-safe -> mixed codec "
+          f"{mb_u16:.1f} MB u16 vs {mb_mixed:.1f} MB mixed "
+          f"(saves {mb_u16 - mb_mixed:.1f} MB)")
+    return safe, mb_u16 - mb_mixed
+
+
 def main():
     root = Path(os.environ.get("BENCH_ROOT", "/tmp/lesionvae_bench"))
     cfg = bench.setup_cohort(root)
@@ -77,6 +109,12 @@ def main():
     u8d = (2.0 + (Xm.shape[2] - 1) * 1.0) / Xm.shape[2]
     print(f"bytes/elem: u16 {u16:.2f} -> delta-u8 {u8d:.3f} "
           f"({u8d / u16:.1%} of u16 wire)")
+    total_saved = 0.0
+    for name, X in (("Xm", Xm), ("Xl", Xl)):
+        _, saved = per_feature_table(name, X)
+        total_saved += saved
+    print(f"mixed-codec total saving: {total_saved:.1f} MB "
+          f"(u16 fleet wire {((Xm.size + Xl.size) * 2) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,18 @@ from .trainer import TrainedVAE, make_optimizer
 
 log = get_logger("batched")
 
+#: launch ledger — one (program, arg-aval tuple) entry per fleet-program
+#: dispatch since the last reset.  The bench's HBM traffic model
+#: (utils/cost_model.py) folds XLA cost_analysis over these to turn the
+#: xplane-measured fleet device-exec seconds into achieved bytes/s and MFU
+#: vs the chip's peaks.  Appending a ShapeDtypeStruct tree costs ~us per
+#: dispatch; reset_fleet_ledger() bounds growth for long-lived processes.
+FLEET_LAUNCH_LEDGER: list = []
+
+
+def reset_fleet_ledger() -> None:
+    FLEET_LAUNCH_LEDGER.clear()
+
 
 import functools
 
@@ -487,9 +499,12 @@ def launch_many_vaes(Xm: np.ndarray, Xl: np.ndarray, n_real: np.ndarray,
         if summary_spec is not None:
             sham_j = _put(jnp.asarray(sham_T[sl], jnp.float32))
             subj_j = _put(jnp.asarray(subj_idx_T[sl], jnp.int32))
-            return program(Xm_j, Xl_j, n_j, k_j, sham_j, subj_j,
-                           *qargs), (Xm_j, Xl_j)
-        return program(Xm_j, Xl_j, n_j, k_j, *qargs), (Xm_j, Xl_j)
+            args = (Xm_j, Xl_j, n_j, k_j, sham_j, subj_j) + qargs
+        else:
+            args = (Xm_j, Xl_j, n_j, k_j) + qargs
+        FLEET_LAUNCH_LEDGER.append((program, tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)))
+        return program(*args), (Xm_j, Xl_j)
 
     if upload_chunks == 1:
         out, (Xm_j, Xl_j) = _launch_chunk(slice(None))
