@@ -32,18 +32,37 @@ EXCLUDE_COLS = ["centroid_x_mean", "centroid_y_mean", "centroid_z_mean",
                 "subject_id", "timepoint", "tract", "group", "group_binary"]
 
 
+def _banner(title: str) -> None:
+    """Reference console convention (classification.py:43-45 etc.): an
+    80-char rule above/below a section title."""
+    log.info("\n%s\n%s\n%s", "=" * 80, title, "=" * 80)
+
+
 def load_and_prepare_data(data_path: str | Path) -> pd.DataFrame:
-    """Load geometry CSV, keep TBI/PTE, add binary label (PTE=1)."""
+    """Load geometry CSV, keep TBI/PTE, add binary label (PTE=1).
+
+    Console report mirrors the reference's data-loading block
+    (classification.py:43-56): totals, group/timepoint counts, and the
+    post-filter TBI/PTE split."""
     df = pd.read_csv(data_path)
+    _banner("DATA LOADING AND PREPARATION")
+    log.info("Total records: %d", len(df))
+    log.info("Groups: %s", df["group"].value_counts().to_dict())
+    log.info("Timepoints: %s", df["timepoint"].value_counts().to_dict())
     df = df[df["group"].isin(["TBI", "PTE"])].copy()
     df["group_binary"] = (df["group"] == "PTE").astype(int)
-    log.info("classification data: %d records (TBI=%d, PTE=%d)", len(df),
-             (df["group"] == "TBI").sum(), (df["group"] == "PTE").sum())
+    log.info("\nAfter filtering to TBI and PTE:\nTotal records: %d\n"
+             "TBI: %d\nPTE: %d", len(df), (df["group"] == "TBI").sum(),
+             (df["group"] == "PTE").sum())
     return df
 
 
-def get_feature_columns(df: pd.DataFrame) -> List[str]:
-    return [c for c in df.columns if c not in EXCLUDE_COLS]
+def get_feature_columns(df: pd.DataFrame, report: bool = False) -> List[str]:
+    cols = [c for c in df.columns if c not in EXCLUDE_COLS]
+    if report:  # reference classification.py:71-73
+        log.info("\nFeature columns (%d):\n%s", len(cols),
+                 "\n".join(f"  - {c}" for c in cols))
+    return cols
 
 
 def aggregate_features_per_subject(df: pd.DataFrame, timepoint: str,
@@ -68,6 +87,9 @@ def train_models_with_cv(X: np.ndarray, y: np.ndarray,
 
     weights = compute_class_weight("balanced", classes=np.unique(y), y=y)
     class_weight = {0: weights[0], 1: weights[1]}
+    # reference classification.py:104
+    log.info("  Class weights: TBI=%.2f, PTE=%.2f",
+             class_weight[0], class_weight[1])
 
     models = {
         "Random Forest": RandomForestClassifier(
@@ -93,9 +115,13 @@ def train_models_with_cv(X: np.ndarray, y: np.ndarray,
 
     results: Dict[str, dict] = {}
     for name, model in models.items():
+        log.info("  Training %s...", name)  # reference :145
         if name == "Elastic Net":
             y_cont = cross_val_predict(model, X_scaled, y, cv=cv, n_jobs=-1)
             y_pred = (y_cont > 0.5).astype(int)
+            # the reference stacks [1-y_cont, y_cont] and reads column 1
+            # (classification.py:152-153) — y_cont IS column 1, so AUC/ROC
+            # are identical without materializing the 2-column array
             y_score = y_cont
         else:
             y_pred = cross_val_predict(model, X_scaled, y, cv=cv, n_jobs=-1)
@@ -124,8 +150,10 @@ def train_models_with_cv(X: np.ndarray, y: np.ndarray,
             "auc": auc, "fpr": fpr, "tpr": tpr, "confusion_matrix": cm,
             "feature_importance": importance,
         }
-        log.info("  %s: acc=%.3f auc=%.3f sens=%.3f spec=%.3f", name,
-                 results[name]["accuracy"], auc, results[name]["sensitivity"],
+        # reference per-model metric line (classification.py:205-206)
+        log.info("    Accuracy: %.3f, AUC: %.3f, Sens: %.3f, Spec: %.3f",
+                 results[name]["accuracy"], auc,
+                 results[name]["sensitivity"],
                  results[name]["specificity"])
     return results, scaler
 
@@ -135,6 +163,7 @@ def analyze_centroid_displacement(df: pd.DataFrame,
     """Euclidean displacement of per-(subject, tract) mean centroids from the
     2d baseline → centroid_displacement_data.csv + figure (:463-624)."""
     centroid_cols = ["centroid_x_mean", "centroid_y_mean", "centroid_z_mean"]
+    _banner("CENTROID DISPLACEMENT ANALYSIS")  # reference :467-469
     frames = []
     for tp in TIMEPOINTS:
         df_tp = df[df["timepoint"] == tp]
@@ -168,6 +197,19 @@ def analyze_centroid_displacement(df: pd.DataFrame,
     from ..viz.classify_viz import plot_centroid_displacement
     if len(disp):
         plot_centroid_displacement(disp, TIMEPOINTS, output_dir)
+        # reference displacement summary report (classification.py:613-624)
+        lines = ["\nDisplacement Summary (from 2d baseline):", "-" * 80]
+        for tp in TIMEPOINTS:
+            d_tp = disp[disp["timepoint"] == tp]
+            if not len(d_tp):
+                continue
+            lines.append(f"\n{tp}:")
+            for group in ("TBI", "PTE"):
+                d_g = d_tp[d_tp["group"] == group]["displacement_mm"]
+                if len(d_g):
+                    lines.append(f"  {group}: {d_g.mean():.2f} "
+                                 f"± {d_g.std():.2f} mm")
+        log.info("%s", "\n".join(lines))
     return disp
 
 
@@ -178,8 +220,9 @@ def run_classification(data_path: str | Path,
     Returns the classification_summary DataFrame."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    _banner("TBI vs PTE CLASSIFICATION AND VISUALIZATION ANALYSIS")  # :637-639
     df = load_and_prepare_data(data_path)
-    feature_cols = get_feature_columns(df)
+    feature_cols = get_feature_columns(df, report=True)
 
     from ..viz.classify_viz import (plot_classification_results,
                                     plot_temporal_trends,
@@ -193,7 +236,10 @@ def run_classification(data_path: str | Path,
             if df_subj.empty or df_subj["group_binary"].nunique() < 2:
                 log.warning("timepoint %s lacks both classes — skipped", tp)
                 continue
-            log.info("timepoint %s: %d subjects", tp, len(df_subj))
+            _banner(f"TIMEPOINT: {tp}")  # reference :655-657
+            log.info("\nSubjects: %d (TBI: %d, PTE: %d)", len(df_subj),
+                     (df_subj["group_binary"] == 0).sum(),
+                     (df_subj["group_binary"] == 1).sum())  # reference :662
             X = df_subj[feature_cols].values
             y = df_subj["group_binary"].values
             results, _ = train_models_with_cv(X, y)
@@ -208,6 +254,7 @@ def run_classification(data_path: str | Path,
 
     with stage("classify.displacement"):
         if make_plots and len(df):
+            _banner("TEMPORAL TREND ANALYSIS")  # reference :689-691
             plot_temporal_trends(df, feature_cols, TIMEPOINTS, output_dir)
         analyze_centroid_displacement(df, output_dir)
 
@@ -221,5 +268,6 @@ def run_classification(data_path: str | Path,
                 "specificity": r["specificity"]})
     summary = pd.DataFrame(summary_rows)
     summary.to_csv(output_dir / "classification_summary.csv", index=False)
+    _banner("ANALYSIS COMPLETE!")  # reference :715-716
     log.info("classification complete → %s", output_dir)
     return summary
