@@ -268,6 +268,26 @@ def warmup_backend():
 
     def _watchdog():
         if not done.wait(timeout):
+            # The attachment wedges for 10-60+ min several times a day
+            # (observed r4/r5) and usually returns within a few minutes —
+            # a bounded self-re-exec gives a single driver invocation a
+            # second (and third) chance at producing a JSON artifact
+            # instead of guaranteeing rc=3.  A fresh PROCESS is required:
+            # a blocked PJRT init can't be retried in-process.
+            retries = int(os.environ.get("BENCH_WEDGE_RETRIES", "2"))
+            if retries > 0:
+                wait = float(os.environ.get("BENCH_WEDGE_WAIT_S", "240"))
+                log(f"[bench] backend init blocked {timeout:.0f}s (wedged "
+                    f"attachment) — re-exec in {wait:.0f}s "
+                    f"({retries} retries left)")
+                time.sleep(wait)
+                env = dict(os.environ,
+                           BENCH_WEDGE_RETRIES=str(retries - 1))
+                try:
+                    os.execve(sys.executable,
+                              [sys.executable] + sys.argv, env)
+                except OSError as e:
+                    log(f"[bench] re-exec failed: {e!r}")
             log(f"[bench] FATAL: backend init/first program still blocked "
                 f"after {timeout:.0f}s — the device attachment is wedged; "
                 f"no timed run is possible")
