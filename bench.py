@@ -280,7 +280,14 @@ def warmup_backend():
                 log(f"[bench] backend init blocked {timeout:.0f}s (wedged "
                     f"attachment) — re-exec in {wait:.0f}s "
                     f"({retries} retries left)")
-                time.sleep(wait)
+                if done.wait(wait):
+                    # The wedge cleared DURING the retry wait and the main
+                    # thread is mid-run — re-exec'ing now would kill a
+                    # healthy run (observed live: warmup returned at 790 s,
+                    # 30 s before the blind re-exec fired).  Stand down.
+                    log("[bench] backend recovered during the re-exec wait "
+                        "— watchdog standing down")
+                    return
                 env = dict(os.environ,
                            BENCH_WEDGE_RETRIES=str(retries - 1))
                 try:
@@ -295,6 +302,9 @@ def warmup_backend():
 
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax.numpy as jnp
+    wedge_sim = float(os.environ.get("BENCH_TEST_WEDGE_S", "0"))
+    if wedge_sim:  # test hook: simulate a wedged attachment deterministically
+        time.sleep(wedge_sim)
     t0 = time.perf_counter()
     np.asarray(jax.jit(lambda x: jnp.tanh(x @ x))(jnp.ones((512, 512),
                                                            jnp.float32)))
