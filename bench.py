@@ -309,8 +309,9 @@ def warmup_backend():
     np.asarray(jax.jit(lambda x: jnp.tanh(x @ x))(jnp.ones((512, 512),
                                                            jnp.float32)))
     done.set()
-    log(f"[setup] backend warmup in {time.perf_counter() - t0:.1f}s")
-    return probe_link()
+    attach_s = time.perf_counter() - t0
+    log(f"[setup] backend warmup in {attach_s:.1f}s")
+    return probe_link() + (attach_s,)
 
 
 def probe_link(mb: int = 32):
@@ -469,6 +470,10 @@ def main():
              "device_time_min_s": round(min(r[3] for r in runs), 2),
              "link_h2d_mb_s": round(link[0], 1),
              "link_d2h_mb_s": round(link[1], 1),
+             # attach weather: healthy 10-300 s, wedged 600+ (watchdog
+             # re-exec territory) — contextualizes cold_start_s, which
+             # deliberately EXCLUDES this one-time connection cost
+             "backend_attach_s": round(link[2], 1),
              "cache_hits": cache_counter.hits,
              "cache_misses": cache_counter.misses,
              **ab_fields}
