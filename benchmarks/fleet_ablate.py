@@ -111,9 +111,19 @@ def bench_carry(module, tx, Xm, Xl, params, stats, opt_state, what):
 
 
 def bench_full(module, tx, Xm, Xl, params, stats, opt_state, unroll=1,
-               tx_override=None, tag="full"):
+               tx_override=None, tag="full", remat=None):
     tx = tx_override or tx
     loss_fn = make_loss(module)
+    # remat lever: the traffic model (utils/cost_model.py) attributes
+    # 1.59 GB/fleet-step to fwd->bwd activation residuals; at MFU 9.5% the
+    # recompute FLOPs are free, so checkpointing the loss trades saved
+    # residual HBM streams for MXU/VPU work.  Exact math — the same ops are
+    # re-executed with the same rng, no new approximation knob.
+    if remat == "full":
+        loss_fn = jax.checkpoint(loss_fn)
+    elif remat == "dots":
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.dots_saveable)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     opt_state = jax.jit(jax.vmap(tx.init))(params)
 
@@ -238,6 +248,11 @@ def main():
             bench_train_program(store=True, flat=True)
         elif m == "trainf32":
             bench_train_program(store=False)
+        elif m.startswith("remat"):
+            # remat (save nothing) | remat:dots (save matmul outputs)
+            kind = m.split(":")[1] if ":" in m else "full"
+            bench_full(module, tx, Xm, Xl, params, stats, opt_state,
+                       remat=kind, tag=f"remat:{kind}")
         elif m == "moments16":
             bench_full(module, tx, Xm, Xl, params, stats, opt_state,
                        tx_override=make_optimizer_m16(2e-4, 1e-3, 2.0),
